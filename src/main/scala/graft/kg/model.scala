@@ -1,0 +1,103 @@
+package graft.kg
+
+/** Core data model of the KG-construction pipeline (SURVEY.md §1.5).
+  *
+  * Mirrors the shapes the reference emits (see /root/reference/graphrag):
+  * Document/Chunk rows (`core/ingest.py:126-179`), Term rows
+  * (`core/nlp_graph.py:60-104`), (subj, pred, obj) triples
+  * (`core/triplets.py:134-205`), Entity vertices and RELATES_TO edges
+  * (`core/triplets.py:354-369`) — re-expressed as typed Dataset rows.
+  */
+
+/** One row of the Iceberg-shaped source-code corpus (input_hint). */
+final case class CorpusRow(
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    content: String)
+
+/** A document with its stable id and content hash (per-row invariant:
+  * `sha2(content, 256)` equality vs the oracle). */
+final case class Doc(
+    docId: String,
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    content: String,
+    contentSha256: String)
+
+/** A chunk produced by the greedy sentence-packing chunker
+  * (reference `core/ingest.py:65-101`); `chunkId = s"${docId}_chunk$index"`
+  * (`ingest.py:144-150`). */
+final case class Chunk(
+    docId: String,
+    chunkId: String,
+    index: Int,
+    text: String,
+    nTokens: Int)
+
+/** Chunk embedding (reference: E5-base-v2 768-d L2-normalized,
+  * `utils/common.py:50-98`; here: deterministic hash embedding). */
+final case class ChunkEmbedding(chunkId: String, docId: String, vec: Array[Float])
+
+/** An n-gram term attached to a chunk (`core/nlp_graph.py:35-58`);
+  * termType ∈ {unigram, bigram, trigram}. */
+final case class Term(chunkId: String, text: String, termType: String)
+
+/** A raw extracted triple with full provenance (the reference drops
+  * provenance — `triplets.py:354-369` never writes `r.source`; we keep it). */
+final case class Triple(
+    docId: String,
+    chunkId: String,
+    sentIdx: Int,
+    subj: String,
+    pred: String,
+    obj: String)
+
+/** A distinct mention string to be linked; role ∈ {subject, predicate, object}. */
+final case class Mention(name: String, role: String)
+
+/** An alias pair discovered by similarity linking (J1) or exact match (J2). */
+final case class AliasPair(a: String, b: String, score: Double)
+
+/** Canonicalization result: mention name → canonical entity name. */
+final case class CanonicalMapping(name: String, canonicalName: String)
+
+/** Entity vertex of the emitted graph (reference `(:Entity)` node,
+  * `triplets.py:354-361`): name lowercased, embeddings create-only,
+  * triplet_part last-writer — made deterministic here via lineage order. */
+final case class EntityVertex(
+    name: String,
+    canonicalName: String,
+    vec: Array[Float],
+    tripletPart: String)
+
+/** RELATES_TO edge keyed (subj, pred, obj) (`triplets.py:363-365`) with
+  * real provenance chunk id (reference queries `r.source` but never
+  * writes it — `retrieval.py:283,291`). */
+final case class RelatesToEdge(
+    subj: String,
+    pred: String,
+    obj: String,
+    label: String,
+    sourceChunkId: String)
+
+/** Pipeline configuration mirroring the reference defaults
+  * (`utils/config.py:123-135`). */
+final case class GraftConfig(
+    maxTokensPerChunk: Int = 200,
+    topK: Int = 10,
+    contextSize: Int = 2,
+    vectorSize: Int = 768,
+    linkThreshold: Double = 0.96,
+    linkTopK: Int = 10,
+    vectorWeight: Double = 0.5,
+    removeStopwords: Boolean = true,
+    /** "exact" = the reference's de-facto stock behavior (vector index
+      * never usable → exact lowercase match only, SURVEY.md §1.2);
+      * "lsh" = MinHash-LSH blocking + cosine ≥ linkThreshold. */
+    linkMode: String = "exact",
+    /** Stage-checkpoint root for resumable runs (§7.7); None = off. */
+    checkpointDir: Option[String] = None)

@@ -1,0 +1,64 @@
+package graft.kg.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.nio.charset.StandardCharsets
+
+/** Per-stage checkpointing for resumable runs (north rule; SURVEY.md §7.7).
+  *
+  * Protocol: a stage result lands at `<root>/<stage>/data` (parquet) with a
+  * `<root>/<stage>/_manifest.json` recording the stage-spec version, an
+  * input fingerprint, and row count. On restart, a stage whose manifest
+  * matches (same spec version + input fingerprint) is read back instead of
+  * recomputed — mid-pipeline resume with lineage recorded per stage.
+  * Counters come from `Dataset.count` at write time (observed metrics land
+  * in [[Metrics]]).
+  */
+final class Checkpoint(spark: SparkSession, root: String, enabled: Boolean) {
+  import org.apache.hadoop.fs.Path
+
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(stage: String) = new Path(s"$root/$stage/_manifest.json")
+  private def dataPath(stage: String) = s"$root/$stage/data"
+
+  private def readManifest(stage: String): Option[String] = {
+    val p = manifestPath(stage)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  private def writeManifest(stage: String, content: String): Unit = {
+    val out = fs.create(manifestPath(stage), true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def manifestJson(specVersion: String, inputFingerprint: String,
+      rows: Long): String =
+    s"""{"specVersion":"$specVersion","inputFingerprint":"$inputFingerprint","rows":$rows}"""
+
+  /** Run `compute` for `stage`, or read the prior result if a matching
+    * checkpoint exists. `inputFingerprint` must change when upstream data
+    * or config changes (content hash at small scale; table snapshot id in
+    * production). */
+  def stage(stageName: String, specVersion: String, inputFingerprint: String)(
+      compute: => DataFrame): DataFrame = {
+    if (!enabled) return compute
+    val expectedPrefix =
+      s"""{"specVersion":"$specVersion","inputFingerprint":"$inputFingerprint""""
+    readManifest(stageName) match {
+      case Some(m) if m.startsWith(expectedPrefix) =>
+        spark.read.parquet(dataPath(stageName))
+      case _ =>
+        val df = compute
+        df.write.mode(SaveMode.Overwrite).parquet(dataPath(stageName))
+        val out = spark.read.parquet(dataPath(stageName))
+        writeManifest(stageName,
+          manifestJson(specVersion, inputFingerprint, out.count()))
+        out
+    }
+  }
+}

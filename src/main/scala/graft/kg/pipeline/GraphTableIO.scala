@@ -1,0 +1,55 @@
+package graft.kg.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table layer behind the graph sinks (SURVEY.md §7.4).
+  *
+  * Production target is Iceberg `MERGE INTO` on partitioned vertex/edge
+  * tables; no Iceberg runtime ships in this sandbox, so the sandbox impl
+  * emulates MERGE as `existing ∪ delta` + `dropDuplicates(keys)` with a
+  * full rewrite (small scale) — same observable set semantics as the
+  * reference's Neo4j MERGE upserts (`triplets.py:354-369`).
+  */
+trait GraphTableIO extends Serializable {
+  def exists(spark: SparkSession, table: String): Boolean
+  def read(spark: SparkSession, table: String): DataFrame
+  /** Upsert `delta` into `table` keyed by `keys` (idempotent). */
+  def merge(spark: SparkSession, table: String, delta: DataFrame, keys: Seq[String]): Unit
+  def overwrite(spark: SparkSession, table: String, df: DataFrame): Unit
+}
+
+/** Parquet-backed sandbox impl rooted at `root`. A production impl would
+  * issue `MERGE INTO <table> t USING <delta> d ON <keys> WHEN NOT MATCHED
+  * THEN INSERT *` against Iceberg with identical key semantics. */
+final class ParquetTableIO(root: String) extends GraphTableIO {
+  private def path(table: String) = s"$root/$table"
+
+  def exists(spark: SparkSession, table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(table), "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(path(table))
+
+  def merge(spark: SparkSession, table: String, delta: DataFrame,
+      keys: Seq[String]): Unit = {
+    val merged =
+      if (exists(spark, table))
+        read(spark, table).unionByName(delta, allowMissingColumns = false)
+          .dropDuplicates(keys)
+      else delta.dropDuplicates(keys)
+    // write via temp dir then swap: the source may be the table itself
+    val tmp = path(table) + "__tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path(table))
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  def overwrite(spark: SparkSession, table: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path(table))
+}

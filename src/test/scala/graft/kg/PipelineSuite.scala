@@ -1,0 +1,123 @@
+package graft.kg
+
+import graft.kg.fixtures.CorpusGen
+import graft.kg.pipeline.{ParquetTableIO, Pipeline}
+import graft.kg.stages._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end pipeline tests including the golden P/R harness
+  * (SURVEY.md §5.2.3): the pipeline's emitted distinct
+  * (lower(subj), lower(pred), lower(obj)) set vs the corpus generator's
+  * ground-truth facts — an independent oracle, since the truth set is
+  * derived from the generating templates, not by running the extractor.
+  */
+class PipelineSuite extends AnyFunSuite {
+  lazy val spark = SparkSessionFixture.spark
+
+  lazy val gen = CorpusGen.generate(repos = 8, filesPerRepo = 6, seed = 42L)
+  lazy val corpus = {
+    val s = spark; import s.implicits._
+    spark.createDataset(gen.rows)
+  }
+
+  test("per-row invariant: sha2(content, 256) matches oracle (input_hint)") {
+    val s = spark; import s.implicits._
+    val docs = Ingest.docs(corpus)
+    val got = docs.select($"docId", $"contentSha256").as[(String, String)]
+      .collect().toMap
+    val expected = gen.rows.map { r =>
+      val id = s"${r.repo}:${r.path}@${r.commit}"
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      id -> md.digest(r.content.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("e2e P/R >= 0.95 vs independent ground truth (north rule)") {
+    val s = spark; import s.implicits._
+    val result = new Pipeline(GraftConfig(linkMode = "exact")).run(corpus)
+    val emitted = result.edges
+      .select($"subj", $"pred", $"obj").as[(String, String, String)]
+      .collect().toSet
+    val truth = gen.truth
+    val tp = (emitted intersect truth).size.toDouble
+    val precision = if (emitted.isEmpty) 0.0 else tp / emitted.size
+    val recall = if (truth.isEmpty) 0.0 else tp / truth.size
+    info(s"emitted=${emitted.size} truth=${truth.size} P=$precision R=$recall")
+    assert(precision >= 0.95, s"precision $precision < 0.95")
+    assert(recall >= 0.95, s"recall $recall < 0.95")
+  }
+
+  test("edge set is idempotent under re-merge (MERGE semantics, U4)") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graftio").toString
+    val io = new ParquetTableIO(tmp)
+    val p = new Pipeline(GraftConfig(linkMode = "exact"))
+    val counts1 = p.materialize(corpus, io)
+    val counts2 = p.materialize(corpus, io) // same corpus again
+    assert(counts1 == counts2, "re-running MERGE changed table contents")
+  }
+
+  test("chunking respects the token budget except oversized sentences") {
+    val s = spark; import s.implicits._
+    val chunks = Ingest.chunks(Ingest.docs(corpus), maxTokens = 50).collect()
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_.docId).foreach { case (_, cs) =>
+      assert(cs.map(_.index).sorted.toSeq == cs.indices.toSeq)
+    }
+    // over-budget chunks must be single-sentence (greedy never splits)
+    chunks.filter(_.nTokens > 50).foreach { c =>
+      assert(graft.kg.textspec.Sentences.split(c.text).size == 1)
+    }
+  }
+
+  test("terms: unigram stopword filter + bigram/trigram counts") {
+    val s = spark; import s.implicits._
+    val chunks = spark.createDataset(Seq(
+      Chunk("d", "d_chunk0", 0, "The graph is fast.", 5)))
+    val terms = Terms.terms(chunks).collect()
+    val uni = terms.filter(_.termType == "unigram").map(_.text).toSet
+    val bi = terms.filter(_.termType == "bigram").map(_.text).toSet
+    assert(uni == Set("graph", "fast"))
+    assert(bi == Set("the graph", "graph is", "is fast"))
+  }
+
+  test("lsh linking finds alias pairs and CC canonicalizes them") {
+    val s = spark; import s.implicits._
+    // util lib / utillib should be near-dups; alpha unrelated
+    val names = Seq("util lib", "utillib", "utility lib", "alphabeta")
+    val mentionNames = names.toDF("name")
+    val vecs = Link.mentionEmbeddings(mentionNames, new embed.HashEmbedder())
+    val aliases = Link.lshAliases(vecs, threshold = 0.8, linkTopK = 10)
+    val pairs = aliases.collect().map(p => Set(p.a, p.b))
+    assert(pairs.contains(Set("util lib", "utillib")),
+      s"missing expected alias pair, got ${pairs.mkString(",")}")
+    val canon = Canonicalize.canonicalMap(mentionNames, aliases).collect()
+      .map(c => c.name -> c.canonicalName).toMap
+    assert(canon("util lib") == canon("utillib"))
+    assert(canon("alphabeta") == "alphabeta")
+  }
+
+  test("connected components merges transitive alias chains") {
+    val s = spark; import s.implicits._
+    val aliases = spark.createDataset(Seq(
+      AliasPair("a", "b", 0.99), AliasPair("b", "c", 0.98),
+      AliasPair("x", "y", 0.97)))
+    val cc = Canonicalize.connectedComponents(aliases).collect()
+      .map(c => c.name -> c.canonicalName).toMap
+    assert(cc("a") == "a" && cc("b") == "a" && cc("c") == "a")
+    assert(cc("x") == "x" && cc("y") == "x")
+  }
+
+  test("resume: second run with checkpointDir skips recompute and matches") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftckpt").toString
+    val cfg = GraftConfig(linkMode = "exact", checkpointDir = Some(dir))
+    val r1 = new Pipeline(cfg).run(corpus).edges.collect().toSet
+    // second run must read the checkpointed stages (manifest match)
+    val r2 = new Pipeline(cfg).run(corpus).edges.collect().toSet
+    assert(r1 == r2)
+    assert(new java.io.File(s"$dir/triples/_manifest.json").exists())
+  }
+}
