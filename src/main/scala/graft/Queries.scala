@@ -1,18 +1,44 @@
 package graft
 
+import graft.kg.GraftConfig
+import graft.kg.pipeline.Pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Registry of operator-level queries (SURVEY.md §2 inventory) and their
-  * DuckDB oracle SQL. Split out of SparkEntry so query families can live
-  * in focused files. */
+/** Registry of operator-level queries (SURVEY.md §2 inventory + the
+  * training-data ops) and their DuckDB oracle SQL. Query families live in
+  * `graft.ops.*`; the KG-pipeline family runs over the synthesized corpus
+  * (rows-only checks — its correctness gate is the ScalaTest P/R harness).
+  */
 object Queries {
 
-  def all: Map[String, (SparkSession, String) => DataFrame] =
-    Map("kg_edges" -> ((s: SparkSession, dir: String) => {
-      new graft.kg.pipeline.Pipeline(graft.kg.GraftConfig(linkMode = "exact"))
-        .run(SparkEntry.syntheticCorpus(s, dir)).edges.toDF()
-        .orderBy("subj", "pred", "obj")
+  private def kgResult(s: SparkSession, dir: String, mode: String) =
+    new Pipeline(GraftConfig(linkMode = mode)).run(SparkEntry.syntheticCorpus(s, dir))
+
+  private val kgDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_edges" -> ((s: SparkSession, dir: String) =>
+      kgResult(s, dir, "exact").edges.toDF().orderBy("subj", "pred", "obj")),
+    "kg_vertices" -> ((s: SparkSession, dir: String) =>
+      kgResult(s, dir, "exact").vertices.toDF()
+        .select(col("name"), col("canonicalName"), col("tripletPart"))
+        .orderBy("name")),
+    "kg_chunks" -> ((s: SparkSession, dir: String) =>
+      kgResult(s, dir, "exact").chunks.toDF().orderBy("chunkId")),
+    "kg_terms" -> ((s: SparkSession, dir: String) =>
+      kgResult(s, dir, "exact").terms.toDF()
+        .dropDuplicates("chunkId", "text", "termType")
+        .orderBy("chunkId", "termType", "text")),
+    "kg_canonical_lsh" -> ((s: SparkSession, dir: String) => {
+      val r = kgResult(s, dir, "lsh")
+      r.canonical.toDF().filter(col("name") =!= col("canonicalName"))
+        .orderBy("name")
     }))
 
-  def oracles: Map[String, String] = Map()
+  def all: Map[String, (SparkSession, String) => DataFrame] =
+    kgDefs ++ ops.Relational.defs ++ ops.TextOps.defs ++ ops.DedupOps.defs ++
+      ops.SimilarityOps.defs ++ ops.Multimodal.defs
+
+  def oracles: Map[String, String] =
+    ops.Relational.oracles ++ ops.TextOps.oracles ++ ops.DedupOps.oracles ++
+      ops.SimilarityOps.oracles ++ ops.Multimodal.oracles
 }

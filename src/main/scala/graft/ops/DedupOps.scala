@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline over the
+  * `documents` table: exact (hash-groupBy), MinHash banding, n-gram
+  * Jaccard, SimHash, and embedding-cosine near-dup — the first four with
+  * DuckDB oracles (md5-based signatures are engine-portable), the
+  * MLlib-LSH variant rows-only.
+  *
+  * Scale notes: every variant is blocked — candidate pairs come from
+  * signature equality (shuffle on the signature key), never from a global
+  * cross join; the pairwise re-score joins only within blocks.
+  */
+object DedupOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** doc_id + token-bigram shingles. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1]))"))
+        .as("sh"))
+
+  /** Two-band MinHash signature per doc: min(md5('a'|sh)), min(md5('b'|sh)). */
+  private def minhashSig(s: SparkSession, dir: String): DataFrame =
+    shingled(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(min(md5(concat(lit("a|"), col("sh")))).as("mh_a"),
+        min(md5(concat(lit("b|"), col("sh")))).as("mh_b"))
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy on content hash, keep min doc_id.
+    "q25_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // MinHash signatures (shingle → minhash; band key = both mins).
+    "q26_minhash_sig" -> ((s, dir) =>
+      minhashSig(s, dir).orderBy(col("doc_id"))),
+
+    // MinHash-banded candidate pairs + exact n-gram Jaccard re-score:
+    // docs sharing BOTH minhash bands are candidates; Jaccard over
+    // distinct token sets via a blocked join (no cross product).
+    "q27_minhash_jaccard" -> ((s, dir) => {
+      val sig = minhashSig(s, dir)
+      val cands = sig.as("x").join(sig.as("y"),
+          col("x.mh_a") === col("y.mh_a") && col("x.mh_b") === col("y.mh_b") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = cands
+        .join(toks.select(col("doc_id").as("a"), col("tok")), Seq("a"))
+        .join(toks.select(col("doc_id").as("b"), col("tok")), Seq("b", "tok"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      cands
+        .join(inter, Seq("a", "b"), "left")
+        .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+        .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+        .select(col("a"), col("b"),
+          (coalesce(col("inter"), lit(0L)).cast("double") /
+            (col("sza") + col("szb") - coalesce(col("inter"), lit(0L))))
+            .as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // SimHash (32-bit, md5-derived → engine-portable): per token take the
+    // first 8 md5 hex chars as an unsigned 32-bit value; per bit j the doc
+    // accumulates +1/-1; simhash bit j = sign. Exact integer arithmetic.
+    "q28_simhash" -> ((s, dir) => {
+      val bits = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+        .select(col("doc_id"), col("h"), explode(expr("sequence(0, 31)")).as("j"))
+        .select(col("doc_id"), col("j"),
+          expr("(shiftrightunsigned(h, CAST(j AS INT)) & 1) * 2 - 1").as("contrib"))
+      bits.groupBy(col("doc_id"), col("j"))
+        .agg(sum(col("contrib")).as("acc"))
+        .select(col("doc_id"),
+          expr("CASE WHEN acc > 0 THEN shiftleft(1L, CAST(j AS INT)) ELSE 0L END")
+            .as("bitval"))
+        .groupBy(col("doc_id")).agg(sum(col("bitval")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Embedding-cosine near-dup pairs over the embeddings table
+    // (brute within-block; at this dim/scale a full pairwise is the
+    // baseline — the LSH-bucketed scale path is q31).
+    "q29_embed_cosine_dup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          expr("""aggregate(zip_with(x.v, y.v, (p, q) -> p * q), 0D, (s, z) -> s + z) /
+                  (sqrt(aggregate(x.v, 0D, (s, z) -> s + z * z)) *
+                   sqrt(aggregate(y.v, 0D, (s, z) -> s + z * z)))""").as("cos"))
+        .filter(col("cos") >= 0.5)
+        .select(col("a"), col("b"), round(col("cos"), 5).as("cos_r"))
+        .orderBy(col("a"), col("b"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q25_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "q26_minhash_sig" ->
+      """SELECT doc_id,
+         min(md5('a|' || sh)) AS mh_a, min(md5('b|' || sh)) AS mh_b
+         FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i+1])) AS sh
+               FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+               WHERE len(toks) >= 2)
+         GROUP BY 1 ORDER BY doc_id""",
+    "q27_minhash_jaccard" ->
+      """WITH sig AS (
+           SELECT doc_id, min(md5('a|' || sh)) AS mh_a, min(md5('b|' || sh)) AS mh_b
+           FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1])) AS sh
+                 FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+                 WHERE len(toks) >= 2)
+           GROUP BY 1),
+         cands AS (
+           SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y
+           ON x.mh_a = y.mh_a AND x.mh_b = y.mh_b AND x.doc_id < y.doc_id),
+         toks AS (
+           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+         inter AS (
+           SELECT c.a, c.b, count(*) AS inter FROM cands c
+           JOIN toks ta ON ta.doc_id = c.a
+           JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+           GROUP BY 1, 2)
+         SELECT c.a, c.b,
+           CAST(coalesce(i.inter, 0) AS DOUBLE) /
+             (sa.sz + sb.sz - coalesce(i.inter, 0)) AS jaccard
+         FROM cands c
+         LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+         JOIN sizes sa ON sa.doc_id = c.a
+         JOIN sizes sb ON sb.doc_id = c.b
+         ORDER BY 1, 2""",
+    "q28_simhash" ->
+      """WITH h AS (
+           SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+         bits AS (
+           SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS acc
+           FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
+           GROUP BY 1, 2)
+         SELECT doc_id,
+           CAST(sum(CASE WHEN acc > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+         FROM bits GROUP BY 1 ORDER BY doc_id""",
+    "q29_embed_cosine_dup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT x.vec_id AS a, y.vec_id AS b,
+           round(list_dot_product(x.v, y.v) /
+             (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 5)
+             AS cos_r
+         FROM e x JOIN e y ON x.vec_id < y.vec_id
+         WHERE list_dot_product(x.v, y.v) /
+             (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.5
+         ORDER BY a, b""")
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table: brute-force cosine
+  * top-k (the correctness baseline, with a DuckDB oracle) and an
+  * LSH-bucketed approximate variant (the scale path — rows-only check;
+  * its recall vs the brute baseline is asserted in SimilarityOpsSuite).
+  */
+object SimilarityOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def asDouble(c: String) =
+    expr(s"transform($c, x -> CAST(x AS DOUBLE))")
+
+  /** Deterministic sign-sketch bucket: for hyperplane k (0..nPlanes-1),
+    * pseudo-random ±1 weights per dimension derived from (k, dim index)
+    * via integer hashing — portable and shuffle-free. */
+  private def signBucketExpr(vCol: String, nPlanes: Int): org.apache.spark.sql.Column = {
+    // weight(k, i) = +1 if ((k*1103515245 + i*12345) scrambled) even else -1
+    val planes = (0 until nPlanes).map { k =>
+      s"""(CASE WHEN aggregate(zip_with($vCol, sequence(0, size($vCol) - 1),
+              (x, i) -> x * (CAST((hash($k, i) & 2) AS DOUBLE) - 1.0)),
+            0D, (acc, z) -> acc + z) > 0 THEN ${1L << k} ELSE 0 END)"""
+    }
+    expr(planes.mkString("(", " + ", ")"))
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-5 per probe (probes = vec_id < 5). The
+    // probe side is tiny → broadcast; ranks only (fp-order safe).
+    "q30_knn_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), asDouble("embedding").as("v"))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      broadcast(probes).join(e, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          expr("""aggregate(zip_with(qv, v, (p, q) -> p * q), 0D, (acc, z) -> acc + z) /
+                  (sqrt(aggregate(qv, 0D, (acc, z) -> acc + z * z)) *
+                   sqrt(aggregate(v, 0D, (acc, z) -> acc + z * z)))""").as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN (random-hyperplane sign sketch, 8 planes): probes
+    // join only their bucket — the 100TB-scale path where a full scan per
+    // probe is impossible. Rows-only (approximate by construction).
+    "q31_ann_lsh_bucketed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble("embedding").as("v"))
+        .withColumn("bucket", signBucketExpr("v", 8))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      broadcast(probes)
+        .join(e, Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          expr("""aggregate(zip_with(qv, v, (p, q) -> p * q), 0D, (acc, z) -> acc + z) /
+                  (sqrt(aggregate(qv, 0D, (acc, z) -> acc + z * z)) *
+                   sqrt(aggregate(v, 0D, (acc, z) -> acc + z * z)))""").as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q30_knn_bruteforce" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         scored AS (
+           SELECT p.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_dot_product(p.v, e.v) /
+               (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+           FROM e p JOIN e ON p.vec_id < 5 AND e.vec_id <> p.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, rank, neighbor_id FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""")
+}
