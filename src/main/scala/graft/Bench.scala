@@ -1,24 +1,81 @@
 package graft
+
+import graft.kg.GraftConfig
+import graft.kg.pipeline.Pipeline
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline queries on
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Headliners = the full KG pipeline (both link modes) plus the heaviest
+  * operator families (joins/dedup/similarity/text); the cheap
+  * oracle-parity queries are correctness-gated by Verify, not timed here.
+  * Also reports `kg_files_per_sec` (the north-rule throughput metric).
+  */
 object Bench {
+
+  val headline: Seq[String] = Seq(
+    "q01_groupagg", "q03_context_range_join", "q11_dedup_merge",
+    "q13_tokenize_explode", "q15_stopword_filter", "q21_token_count",
+    "q22_quality_score", "q26_minhash_sig", "q27_minhash_jaccard",
+    "q28_simhash", "q29_embed_cosine_dup", "q30_knn_bruteforce",
+    "q31_ann_lsh_bucketed", "q32_multimodal_decode")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // KG pipeline, exact mode (stock reference semantics): the north-rule
+    // throughput measurement — rows in / wall sec.
+    val corpus = SparkEntry.syntheticCorpus(spark, sfDir).cache()
+    val nDocs = corpus.count() // materialize input outside the timed run
+    var kgEdges = 0L
+    val kgExactSec = time {
+      kgEdges = new Pipeline(GraftConfig(linkMode = "exact")).run(corpus).edges.count()
+    }
+    results += "kg_pipeline_exact" -> kgExactSec
+    val kgLshSec = time {
+      new Pipeline(GraftConfig(linkMode = "lsh")).run(corpus).canonicalEdges.count()
+    }
+    results += "kg_pipeline_lsh" -> kgLshSec
+
+    headline.foreach { name =>
+      Queries.all.get(name).foreach { fn =>
+        val sec = time {
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        }
+        results += name -> sec
+      }
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    val filesPerSec = if (kgExactSec > 0) nDocs / kgExactSec else 0.0
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","kg_docs":$nDocs,"kg_edges":$kgEdges,""" +
+        s""""kg_files_per_sec":${f"$filesPerSec%.1f"}}""")
     spark.stop()
   }
 }

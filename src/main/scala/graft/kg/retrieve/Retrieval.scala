@@ -1,0 +1,138 @@
+package graft.kg.retrieve
+
+import graft.kg._
+import graft.kg.embed.Embedder
+import graft.kg.textspec.{Stopwords, Tokens}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Query-side retrieval (reference `core/retrieval.py`), re-expressed as
+  * single DataFrame programs over the materialized tables instead of
+  * per-hit DB round trips (SURVEY.md §3.2/§3.3).
+  *
+  * Score specs (SURVEY.md §7.5): term relevance = per-(term, chunk) TF
+  * summed per chunk (replacing opaque Lucene BM25 — operator shape
+  * reproduced); vector score = cosine on unit hash embeddings.
+  */
+final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
+    extends Serializable {
+
+  /** A1 term search: query terms → term-edge equi-join → SUM per chunk →
+    * top-k (`retrieval.py:193-229`). `terms` = (chunkId, text, termType);
+    * the query-term list is tiny → broadcast. */
+  def termSearch(terms: DataFrame, chunks: Dataset[Chunk], query: String,
+      topK: Int = config.topK): DataFrame = {
+    val spark = terms.sparkSession
+    import spark.implicits._
+    val qTerms = Tokens.normalize(query).filterNot(Stopwords.english.contains).distinct
+    if (qTerms.isEmpty) return spark.emptyDataFrame
+      .withColumn("chunkId", lit("")).withColumn("score", lit(0.0)).limit(0)
+    terms
+      .filter($"termType" === "unigram" && $"text".isin(qTerms: _*))
+      .groupBy($"chunkId")
+      .agg(count(lit(1)).cast("double").as("score"))
+      .join(chunks.toDF().select($"chunkId", $"text"), Seq("chunkId"))
+      .orderBy($"score".desc, $"chunkId")
+      .limit(topK)
+  }
+
+  /** O1 vector search: embed the query ("query: " prefix,
+    * `retrieval.py:93`), brute-force cosine over chunk embeddings,
+    * TakeOrderedAndProject top-k (`retrieval.py:107-161`). The query
+    * vector is a broadcast literal; on unit vectors dot == cosine. */
+  def vectorSearch(embeddings: Dataset[ChunkEmbedding], chunks: Dataset[Chunk],
+      query: String, topK: Int = config.topK): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val qv = embedder.embedQuery(query)
+    val scored = embeddings.map(e => (e.chunkId, Embedder.dot(e.vec, qv)))
+      .toDF("chunkId", "score")
+    scored
+      .join(chunks.toDF().select($"chunkId", $"text"), Seq("chunkId"))
+      .orderBy($"score".desc, $"chunkId")
+      .limit(topK)
+  }
+
+  /** A3 min-max normalization with all-equal → 1.0
+    * (`retrieval.py:550-569`), over a (chunkId, score, text) frame. */
+  def minMaxNormalize(results: DataFrame): DataFrame = {
+    val w = Window.partitionBy()
+    results
+      .withColumn("mn", min(col("score")).over(w))
+      .withColumn("mx", max(col("score")).over(w))
+      .withColumn("score",
+        when(col("mx") === col("mn"), lit(1.0))
+          .otherwise((col("score") - col("mn")) / (col("mx") - col("mn"))))
+      .drop("mn", "mx")
+  }
+
+  /** A4 weighted hybrid merge (`retrieval.py:574-605`): full-outer on
+    * chunkId, missing side 0.0, w*vec + (1-w)*graph, top-k. */
+  def hybridSearch(terms: DataFrame, chunks: Dataset[Chunk],
+      embeddings: Dataset[ChunkEmbedding], query: String,
+      topK: Int = config.topK, vectorWeight: Double = config.vectorWeight): DataFrame = {
+    val v = minMaxNormalize(
+      vectorSearch(embeddings, chunks, query, topK)).as("v")
+    val g = minMaxNormalize(
+      termSearch(terms, chunks, query, topK)).as("g")
+    v.select(col("chunkId"), col("score").as("vscore"), col("text").as("vtext"))
+      .join(g.select(col("chunkId"), col("score").as("gscore"), col("text").as("gtext")),
+        Seq("chunkId"), "full_outer")
+      .select(col("chunkId"),
+        (coalesce(col("vscore"), lit(0.0)) * vectorWeight +
+          coalesce(col("gscore"), lit(0.0)) * (1.0 - vectorWeight)).as("score"),
+        coalesce(col("vtext"), col("gtext")).as("text"))
+      .orderBy(col("score").desc, col("chunkId"))
+      .limit(topK)
+  }
+
+  /** §3.3 context expansion: the reference walks ±contextSize hops with
+    * 2·N bolt round trips per hit (`retrieval.py:373-467`); here it is a
+    * single range self-join on (docId, |Δindex| ≤ contextSize), with U2
+    * first-wins dedup (match score > context 0.0) and O4 matches-first
+    * ordering. `hits` = (chunkId, score). */
+  def withContext(hits: DataFrame, chunks: Dataset[Chunk],
+      contextSize: Int = config.contextSize): DataFrame = {
+    val c = chunks.toDF()
+    val hitChunks = hits
+      .join(c, Seq("chunkId"))
+      .select(col("chunkId").as("hitId"), col("docId").as("hitDoc"),
+        col("index").as("hitIdx"), col("score"))
+    hitChunks
+      .join(c, col("docId") === col("hitDoc") &&
+        abs(col("index") - col("hitIdx")) <= contextSize)
+      .select(col("chunkId"), col("text"), col("index"), col("docId"),
+        when(col("chunkId") === col("hitId"), col("score")).otherwise(lit(0.0))
+          .as("score"),
+        (col("chunkId") === col("hitId")).as("is_match"))
+      // U2: a chunk reachable from several hits keeps its best score
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("chunkId")).orderBy(col("score").desc)))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("score").desc, col("docId"), col("index"))
+  }
+
+  /** Relationship (triplet) lookup per query entity
+    * (`retrieval.py:265-314,607-637`): capitalized-phrase entity
+    * candidates (P7 regex), per-entity edge filter, O5 per-entity and
+    * global top-k caps. `edges` = RelatesToEdge table. */
+  def relationshipSearch(edges: DataFrame, query: String,
+      topK: Int = config.topK): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val entities = "[A-Z][a-z]+(?:\\s+[A-Z][a-z]+)*".r
+      .findAllIn(query).map(_.toLowerCase).toSeq.distinct
+    if (entities.isEmpty) return edges.limit(0)
+    val perEntity = Window.partitionBy($"entity")
+      .orderBy($"subj", $"pred", $"obj")
+    edges
+      .withColumn("entity",
+        explode(filter(typedLit(entities),
+          e => e === $"subj" || e === $"obj")))
+      .withColumn("rn", row_number().over(perEntity))
+      .filter($"rn" <= topK).drop("rn")
+      .orderBy($"entity", $"subj", $"pred", $"obj")
+      .limit(topK * math.max(entities.size, 1))
+  }
+}

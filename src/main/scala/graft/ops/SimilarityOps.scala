@@ -20,12 +20,14 @@ object SimilarityOps {
   /** Deterministic sign-sketch bucket: for hyperplane k (0..nPlanes-1),
     * pseudo-random ±1 weights per dimension derived from (k, dim index)
     * via integer hashing — portable and shuffle-free. */
-  private def signBucketExpr(vCol: String, nPlanes: Int): org.apache.spark.sql.Column = {
-    // weight(k, i) = +1 if ((k*1103515245 + i*12345) scrambled) even else -1
-    val planes = (0 until nPlanes).map { k =>
+  private def signBucketExpr(vCol: String, nPlanes: Int,
+      planeOffset: Int = 0): org.apache.spark.sql.Column = {
+    // weight(plane, i) = ±1 from spark hash(plane, i) — portable, no state
+    val planes = (0 until nPlanes).map { p =>
+      val pid = planeOffset + p
       s"""(CASE WHEN aggregate(zip_with($vCol, sequence(0, size($vCol) - 1),
-              (x, i) -> x * (CAST((hash($k, i) & 2) AS DOUBLE) - 1.0)),
-            0D, (acc, z) -> acc + z) > 0 THEN ${1L << k} ELSE 0 END)"""
+              (x, i) -> x * (CAST((hash($pid, i) & 2) AS DOUBLE) - 1.0)),
+            0D, (acc, z) -> acc + z) > 0 THEN ${1L << p} ELSE 0 END)"""
     }
     expr(planes.mkString("(", " + ", ")"))
   }
@@ -50,20 +52,33 @@ object SimilarityOps {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // LSH-bucketed ANN (random-hyperplane sign sketch, 8 planes): probes
-    // join only their bucket — the 100TB-scale path where a full scan per
-    // probe is impossible. Rows-only (approximate by construction).
+    // LSH-bucketed ANN (random-hyperplane sign sketch): L hash tables of
+    // k planes each; a candidate matches a probe in ANY table — the
+    // 100TB-scale path where a full scan per probe is impossible.
+    // Rows-only (approximate by construction; recall vs the brute
+    // baseline asserted in OpsSuite).
     "q31_ann_lsh_bucketed" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val L = 6; val k = 4
+      val e0 = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble("embedding").as("v"))
-        .withColumn("bucket", signBucketExpr("v", 8))
+      val e = (0 until L).foldLeft(e0) { (df, tbl) =>
+        df.withColumn(s"b$tbl", signBucketExpr("v", k, planeOffset = tbl * k))
+      }
       val probes = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+        .select(col("vec_id").as("query_id") +: col("v").as("qv") +:
+          (0 until L).map(tbl => col(s"b$tbl").as(s"qb$tbl")): _*)
+      // candidate set = UNION over tables of bucket equi-joins (each a
+      // broadcast hash join on the bucket key — blocked, never a scan)
+      val candidates = (0 until L).map { tbl =>
+        broadcast(probes.select(col("query_id"), col("qv"), col(s"qb$tbl").as("qb")))
+          .join(e.select(col("vec_id"), col("v"), col(s"b$tbl").as("qb")), Seq("qb"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
+      }.reduce(_ unionByName _)
+        .dropDuplicates("query_id", "vec_id")
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
-      broadcast(probes)
-        .join(e, Seq("bucket"))
-        .filter(col("vec_id") =!= col("query_id"))
+      candidates
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           expr("""aggregate(zip_with(qv, v, (p, q) -> p * q), 0D, (acc, z) -> acc + z) /
                   (sqrt(aggregate(qv, 0D, (acc, z) -> acc + z * z)) *

@@ -1,0 +1,93 @@
+package graft.kg
+
+import graft.kg.embed.HashEmbedder
+import graft.kg.fixtures.CorpusGen
+import graft.kg.pipeline.Pipeline
+import graft.kg.retrieve.Retrieval
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetrievalSuite extends AnyFunSuite {
+  lazy val spark = SparkSessionFixture.spark
+
+  lazy val gen = CorpusGen.generate(repos = 4, filesPerRepo = 5, seed = 7L)
+  lazy val result = {
+    val s = spark; import s.implicits._
+    // small chunk budget → multi-chunk docs, so context expansion is real
+    new Pipeline(GraftConfig(linkMode = "exact", maxTokensPerChunk = 20))
+      .run(spark.createDataset(gen.rows))
+  }
+  lazy val retrieval = new Retrieval(new HashEmbedder())
+
+  test("term search returns chunks containing the query terms, TF-ranked") {
+    val s = spark; import s.implicits._
+    // pick a known subject from the truth set as the query
+    val q = gen.truth.head._1
+    val hits = retrieval.termSearch(result.terms.toDF(), result.chunks, q)
+    val rows = hits.collect()
+    assert(rows.nonEmpty)
+    // every hit chunk's text must actually contain a query token
+    val qToks = graft.kg.textspec.Tokens.normalize(q).toSet
+    rows.foreach { r =>
+      val text = r.getAs[String]("text").toLowerCase
+      assert(qToks.exists(text.contains), s"chunk without term: $text")
+    }
+    // scores are descending
+    val scores = rows.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("vector search: a chunk's own text embeds closest to itself") {
+    val s = spark; import s.implicits._
+    val someChunk = result.chunks.head()
+    val hits = retrieval
+      .vectorSearch(result.chunkEmbeddings, result.chunks, someChunk.text, 5)
+      .collect()
+    assert(hits.nonEmpty)
+    // NOTE: query prefix ("query: ") differs from passage prefix, so
+    // cosine < 1.0, but the identical text must still win.
+    assert(hits.head.getAs[String]("chunkId") == someChunk.chunkId)
+  }
+
+  test("hybrid merge is bounded by weights and normalization") {
+    val q = gen.truth.head._1
+    val hits = retrieval.hybridSearch(result.terms.toDF(), result.chunks,
+      result.chunkEmbeddings, q).collect()
+    assert(hits.nonEmpty)
+    hits.foreach { r =>
+      val sc = r.getAs[Double]("score")
+      assert(sc >= 0.0 && sc <= 1.0)
+    }
+  }
+
+  test("context expansion returns ±contextSize neighbors, matches first") {
+    val s = spark; import s.implicits._
+    // find a doc with >= 2 chunks to make context meaningful
+    val multi = result.chunks.toDF().groupBy($"docId").count()
+      .filter($"count" >= 2).limit(1).collect()
+    assume(multi.nonEmpty, "corpus produced no multi-chunk docs")
+    val docId = multi.head.getString(0)
+    val center = result.chunks.filter(_.docId == docId).head()
+    val hits = Seq((center.chunkId, 1.0)).toDF("chunkId", "score")
+    val ctx = retrieval.withContext(hits, result.chunks, 2).collect()
+    assert(ctx.exists(r => r.getAs[Boolean]("is_match")))
+    assert(ctx.forall(r => r.getAs[String]("docId") == docId))
+    assert(ctx.forall(r =>
+      math.abs(r.getAs[Int]("index") - center.index) <= 2))
+    // matches first (O4 ordering)
+    assert(ctx.head.getAs[Boolean]("is_match"))
+  }
+
+  test("relationship search finds edges for a capitalized query entity") {
+    // single-token subject (the P7 regex only captures one-word runs of
+    // a capitalized word per phrase)
+    val subj = gen.truth.map(_._1).find(s => !s.contains(' ')).get
+    val query = s"What about ${subj.capitalize}?"
+    val edges = retrieval.relationshipSearch(result.edges.toDF(), query)
+    val rows = edges.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("subj") == subj || r.getAs[String]("obj") == subj)
+    }
+  }
+}
