@@ -29,16 +29,22 @@ object Queries {
         .dropDuplicates("chunkId", "text", "termType")
         .orderBy("chunkId", "termType", "text")),
     "kg_canonical_lsh" -> ((s: SparkSession, dir: String) => {
-      val r = kgResult(s, dir, "lsh")
+      // the reference's 0.96 cosine threshold is calibrated to E5
+      // embeddings (triplets.py:260); the deterministic hash embedder
+      // needs its own calibration — 0.85 puts true alias variants
+      // ("util lib"/"utillib") above and unrelated names below
+      val r = new Pipeline(GraftConfig(linkMode = "lsh", linkThreshold = 0.85))
+        .run(SparkEntry.syntheticCorpus(s, dir))
       r.canonical.toDF().filter(col("name") =!= col("canonicalName"))
         .orderBy("name")
     }))
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     kgDefs ++ ops.Relational.defs ++ ops.TextOps.defs ++ ops.DedupOps.defs ++
-      ops.SimilarityOps.defs ++ ops.Multimodal.defs
+      ops.SimilarityOps.defs ++ ops.Multimodal.defs ++ ops.StreamingOps.defs
 
   def oracles: Map[String, String] =
     ops.Relational.oracles ++ ops.TextOps.oracles ++ ops.DedupOps.oracles ++
-      ops.SimilarityOps.oracles ++ ops.Multimodal.oracles
+      ops.SimilarityOps.oracles ++ ops.Multimodal.oracles ++
+      ops.StreamingOps.oracles
 }

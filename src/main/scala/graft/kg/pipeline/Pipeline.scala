@@ -55,14 +55,15 @@ final class Pipeline(
     val docs = Ingest.docs(corpus)
 
     val chunks = ckpt.stage("chunks", "v1", fp) {
-      Ingest.chunks(docs, config.maxTokensPerChunk).toDF()
+      Metrics.observeRows(
+        Ingest.chunks(docs, config.maxTokensPerChunk).toDF(), "chunks")
     }.as[Chunk]
 
     val embeddings = Ingest.chunkEmbeddings(chunks, embedder)
     val terms = Terms.terms(chunks, config.removeStopwords)
 
     val triples = ckpt.stage("triples", "v1", fp) {
-      Triples.triples(chunks, extractor).toDF()
+      Metrics.observeRows(Triples.triples(chunks, extractor).toDF(), "triples")
     }.as[Triple]
 
     val mentions = Link.mentions(triples)
@@ -102,8 +103,11 @@ final class Pipeline(
       Seq("subj", "pred", "obj"))
     io.merge(spark, "vertices", r.vertices.toDF(), Seq("name"))
     io.merge(spark, "aliases", r.aliases.toDF(), Seq("a", "b"))
-    Seq("chunks", "chunk_embeddings", "terms", "edges", "canonical_edges",
-      "vertices", "aliases")
+    val tableCounts = Seq("chunks", "chunk_embeddings", "terms", "edges",
+      "canonical_edges", "vertices", "aliases")
       .map(t => t -> io.read(spark, t).count()).toMap
+    // fold in the observed in-flight stage counters (Metrics piggyback on
+    // the actions above — no extra job)
+    tableCounts ++ Metrics.snapshot.map { case (k, v) => s"observed_$k" -> v }
   }
 }
