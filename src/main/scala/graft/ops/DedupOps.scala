@@ -97,25 +97,21 @@ object DedupOps {
 
     // Embedding-cosine near-dup pairs over the embeddings table
     // (brute within-block; at this dim/scale a full pairwise is the
-    // baseline — the LSH-bucketed scale path is q31). The dot product is
-    // UNROLLED into plain column arithmetic (v[0]*w[0] + … ), which stays
-    // inside WholeStageCodegen — ~20× faster than the higher-order-fn
-    // form, which allocates a zipped array per pair.
+    // baseline — the LSH-bucketed scale path is q31). Cosine is the
+    // native Catalyst expression [[graft.functions.CosineSimilarity]]
+    // (codegen'd loop, no per-pair array allocation; same sequential
+    // summation order as DuckDB's list_dot_product).
     "q29_embed_cosine_dup" -> ((s, dir) => {
-      val raw = t(s, dir, "embeddings")
-      val dim = raw.select(size(col("embedding"))).head().getInt(0)
-      // per-row norm computed once before the join, not per pair
-      val e = raw
+      import graft.functions.VectorFunctions.cosine_sim
+      val e = t(s, dir, "embeddings")
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .withColumn("nrm", sqrt(SimilarityOps.unrolledDot("v", "v", dim)))
       // single-file parquet = ONE input partition; the nested-loop join
       // inherits it and runs all O(n²) pairs on one core — spread the
       // stream side across the cluster first (the broadcast side stays)
       val x = e.repartition(s.sparkContext.defaultParallelism)
       x.as("x").join(broadcast(e).as("y"), col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-          (SimilarityOps.unrolledDot("x.v", "y.v", dim) /
-            (col("x.nrm") * col("y.nrm"))).as("cos"))
+          cosine_sim(col("x.v"), col("y.v")).as("cos"))
         .filter(col("cos") >= 0.5)
         .select(col("a"), col("b"), round(col("cos"), 5).as("cos_r"))
         .orderBy(col("a"), col("b"))

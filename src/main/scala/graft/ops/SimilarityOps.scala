@@ -43,18 +43,16 @@ object SimilarityOps {
     // Brute-force cosine top-5 per probe (probes = vec_id < 5). The
     // probe side is tiny → broadcast; ranks only (fp-order safe).
     "q30_knn_bruteforce" -> ((s, dir) => {
-      val raw = t(s, dir, "embeddings")
-      val dim = raw.select(size(col("embedding"))).head().getInt(0)
-      val e = raw.select(col("vec_id"), asDouble("embedding").as("v"))
-        .withColumn("nrm", sqrt(unrolledDot("v", "v", dim)))
+      import graft.functions.VectorFunctions.cosine_sim
+      val e = t(s, dir, "embeddings").select(col("vec_id"), asDouble("embedding").as("v"))
+        .repartition(s.sparkContext.defaultParallelism)
       val probes = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qnrm"))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
       broadcast(probes).join(e, col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (unrolledDot("qv", "v", dim) / (col("qnrm") * col("nrm"))).as("cos"))
+          cosine_sim(col("qv"), col("v")).as("cos"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
@@ -67,35 +65,31 @@ object SimilarityOps {
     // Rows-only (approximate by construction; recall vs the brute
     // baseline asserted in OpsSuite).
     "q31_ann_lsh_bucketed" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.cosine_sim
       val L = 6; val k = 4
-      val raw = t(s, dir, "embeddings")
-      val dim = raw.select(size(col("embedding"))).head().getInt(0)
-      val e0 = raw.select(col("vec_id"), asDouble("embedding").as("v"))
-        .withColumn("nrm", sqrt(unrolledDot("v", "v", dim)))
+      val e0 = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble("embedding").as("v"))
+        .repartition(s.sparkContext.defaultParallelism)
       val e = (0 until L).foldLeft(e0) { (df, tbl) =>
         df.withColumn(s"b$tbl", signBucketExpr("v", k, planeOffset = tbl * k))
       }
       val probes = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id") +: col("v").as("qv") +:
-          col("nrm").as("qnrm") +:
           (0 until L).map(tbl => col(s"b$tbl").as(s"qb$tbl")): _*)
       // candidate set = UNION over tables of bucket equi-joins (each a
       // broadcast hash join on the bucket key — blocked, never a scan)
       val candidates = (0 until L).map { tbl =>
-        broadcast(probes.select(col("query_id"), col("qv"), col("qnrm"),
-            col(s"qb$tbl").as("qb")))
-          .join(e.select(col("vec_id"), col("v"), col("nrm"), col(s"b$tbl").as("qb")),
-            Seq("qb"))
+        broadcast(probes.select(col("query_id"), col("qv"), col(s"qb$tbl").as("qb")))
+          .join(e.select(col("vec_id"), col("v"), col(s"b$tbl").as("qb")), Seq("qb"))
           .filter(col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("qv"), col("qnrm"),
-            col("vec_id"), col("v"), col("nrm"))
+          .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
       }.reduce(_ unionByName _)
         .dropDuplicates("query_id", "vec_id")
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
       candidates
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (unrolledDot("qv", "v", dim) / (col("qnrm") * col("nrm"))).as("cos"))
+          cosine_sim(col("qv"), col("v")).as("cos"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"))

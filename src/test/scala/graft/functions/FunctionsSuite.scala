@@ -1,0 +1,67 @@
+package graft.functions
+
+import graft.kg.SparkSessionFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSuite extends AnyFunSuite {
+  lazy val spark = SparkSessionFixture.spark
+
+  test("cosine_sim: codegen path matches hand computation, float + double") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)), // orthogonal
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)), // identical
+      (Array(1.0f, 1.0f, 0.0f), Array(1.0f, 0.0f, 0.0f))  // 45°
+    ).toDF("a", "b")
+    val out = df.select(VectorFunctions.cosine_sim($"a", $"b").as("c"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(out(0) - 0.0) < 1e-12)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+    assert(math.abs(out(2) - math.sqrt(0.5)) < 1e-12)
+    // double arrays too
+    val d = Seq((Array(3.0, 4.0), Array(3.0, 4.0))).toDF("a", "b")
+      .select(VectorFunctions.cosine_sim($"a", $"b")).head().getDouble(0)
+    assert(math.abs(d - 1.0) < 1e-12)
+  }
+
+  test("cosine_sim: zero vector yields 0.0; null yields null") {
+    val s = spark; import s.implicits._
+    val z = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+      .select(VectorFunctions.cosine_sim($"a", $"b")).head().getDouble(0)
+    assert(z == 0.0)
+    val n = Seq((Option.empty[Array[Float]], Some(Array(1.0f))))
+      .toDF("a", "b")
+      .select(VectorFunctions.cosine_sim($"a", $"b")).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("dot_product on unit vectors equals cosine_sim") {
+    val s = spark; import s.implicits._
+    val v1 = Array(0.6f, 0.8f); val v2 = Array(0.8f, 0.6f)
+    val df = Seq((v1, v2)).toDF("a", "b")
+    val dot = df.select(VectorFunctions.dot_product($"a", $"b")).head().getDouble(0)
+    val cos = df.select(VectorFunctions.cosine_sim($"a", $"b")).head().getDouble(0)
+    assert(math.abs(dot - cos) < 1e-6)
+  }
+
+  test("SQL registration: usable from spark.sql") {
+    VectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c," +
+        " dot_product(array(0.5D, 0.5D), array(0.5D, 0.5D)) AS d")
+      .head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 0.5) < 1e-12)
+  }
+
+  test("type check rejects non-array inputs") {
+    val s = spark; import s.implicits._
+    val df = Seq((1, 2)).toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(VectorFunctions.cosine_sim($"a", $"b")).head()
+    }
+    assert(ex.getMessage.toLowerCase.contains("cosine_sim") ||
+      ex.getMessage.toLowerCase.contains("data type"))
+  }
+}
