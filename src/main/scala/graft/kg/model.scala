@@ -100,4 +100,8 @@ final case class GraftConfig(
       * "lsh" = MinHash-LSH blocking + cosine ≥ linkThreshold. */
     linkMode: String = "exact",
     /** Stage-checkpoint root for resumable runs (§7.7); None = off. */
-    checkpointDir: Option[String] = None)
+    checkpointDir: Option[String] = None,
+    /** Range-split the corpus on (repo, path) at ingest — mega-repo skew
+      * defense (SURVEY.md §4.4). Off by default: callers that already
+      * control input partitioning (benches) skip the extra shuffle. */
+    rangePartitionOnIngest: Boolean = false)

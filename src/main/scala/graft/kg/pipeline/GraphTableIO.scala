@@ -14,8 +14,13 @@ import org.apache.spark.sql.functions._
 trait GraphTableIO extends Serializable {
   def exists(spark: SparkSession, table: String): Boolean
   def read(spark: SparkSession, table: String): DataFrame
-  /** Upsert `delta` into `table` keyed by `keys` (idempotent). */
-  def merge(spark: SparkSession, table: String, delta: DataFrame, keys: Seq[String]): Unit
+  /** Upsert `delta` into `table` keyed by `keys` (idempotent).
+    * `partitionCols` is the physical layout (SURVEY.md §4.4: edges by
+    * pred-hash bucket, vertices by name-hash bucket — in production these
+    * are Iceberg `bucket(N, col)` partition transforms; in the sandbox,
+    * plain partition columns). */
+  def merge(spark: SparkSession, table: String, delta: DataFrame,
+      keys: Seq[String], partitionCols: Seq[String] = Nil): Unit
   def overwrite(spark: SparkSession, table: String, df: DataFrame): Unit
 }
 
@@ -34,7 +39,7 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
     spark.read.parquet(path(table))
 
   def merge(spark: SparkSession, table: String, delta: DataFrame,
-      keys: Seq[String]): Unit = {
+      keys: Seq[String], partitionCols: Seq[String] = Nil): Unit = {
     val merged =
       if (exists(spark, table))
         read(spark, table).unionByName(delta, allowMissingColumns = false)
@@ -42,7 +47,9 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
       else delta.dropDuplicates(keys)
     // write via temp dir then swap: the source may be the table itself
     val tmp = path(table) + "__tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val writer = merged.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path(table))

@@ -40,8 +40,16 @@ final class Pipeline(
       vertices: Dataset[EntityVertex])
 
   /** Build the full lazy DAG from a corpus Dataset. Nothing executes until
-    * an action / materialization. */
-  def run(corpus: Dataset[CorpusRow]): Result = {
+    * an action / materialization.
+    *
+    * @param existingVertices prior graph state `(name, vec)` for
+    *   INCREMENTAL ingestion: new mentions are similarity-linked against
+    *   the existing entity set (the reference's de-facto cross-document
+    *   behavior — every `process_triplet` call queries the graph built so
+    *   far, `triplets.py:252-343`), so canonical components span batches.
+    */
+  def run(corpus: Dataset[CorpusRow],
+      existingVertices: Option[DataFrame] = None): Result = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
@@ -52,7 +60,14 @@ final class Pipeline(
     val fp = s"mt=${config.maxTokensPerChunk};link=${config.linkMode};" +
       s"thr=${config.linkThreshold};topk=${config.linkTopK}"
 
-    val docs = Ingest.docs(corpus)
+    // mega-repo skew defense: range-split (repo, path) so a 10×-sized
+    // repo spreads over many tasks instead of hashing onto one
+    val balanced =
+      if (config.rangePartitionOnIngest)
+        graft.ops.Skew.rangePartitionCorpus(corpus.toDF()).as[CorpusRow]
+      else corpus
+
+    val docs = Ingest.docs(balanced)
 
     val chunks = ckpt.stage("chunks", "v1", fp) {
       Metrics.observeRows(
@@ -68,11 +83,18 @@ final class Pipeline(
 
     val mentions = Link.mentions(triples)
     val mentionVecs = Link.mentionEmbeddings(mentions, embedder)
+    // incremental mode: the linkable universe = new mentions ∪ existing
+    // entity names (exact duplicates collapse — names are the MERGE key)
+    val linkUniverse = existingVertices match {
+      case Some(ev) =>
+        mentionVecs.unionByName(ev.select($"name", $"vec")).dropDuplicates("name")
+      case None => mentionVecs
+    }
 
     val aliases: Dataset[AliasPair] = config.linkMode match {
       case "lsh" =>
         ckpt.stage("aliases", "v1", fp) {
-          Link.lshAliases(mentionVecs, config.linkThreshold, config.linkTopK).toDF()
+          Link.lshAliases(linkUniverse, config.linkThreshold, config.linkTopK).toDF()
         }.as[AliasPair]
       case _ => Link.exactAliases(spark) // stock reference behavior
     }
@@ -92,16 +114,33 @@ final class Pipeline(
     * (the stage counters of the north rule's lineage+metrics requirement). */
   def materialize(corpus: Dataset[CorpusRow], io: GraphTableIO): Map[String, Long] = {
     val spark = corpus.sparkSession
-    val r = run(corpus)
+    // incremental: link new mentions against the existing entity table.
+    // localCheckpoint snapshots the prior state — the merge below swaps
+    // the table directory out from under a lazy scan otherwise
+    val existing =
+      if (config.linkMode == "lsh" && io.exists(spark, "vertices"))
+        Some(io.read(spark, "vertices").localCheckpoint())
+      else None
+    val r = run(corpus, existing)
+    import org.apache.spark.sql.functions.{hash, pmod, lit}
+    // physical layout (SURVEY.md §4.4): edges bucketed by pred hash,
+    // vertices by name hash — partition-parallel MERGE and pruning;
+    // production = Iceberg bucket(N, col) transforms
+    val edgesPart = r.edges.toDF()
+      .withColumn("pbucket", pmod(hash(org.apache.spark.sql.functions.col("pred")), lit(32)))
+    val canonEdgesPart = r.canonicalEdges.toDF()
+      .withColumn("pbucket", pmod(hash(org.apache.spark.sql.functions.col("pred")), lit(32)))
+    val verticesPart = r.vertices.toDF()
+      .withColumn("nbucket", pmod(hash(org.apache.spark.sql.functions.col("name")), lit(32)))
     io.merge(spark, "chunks", r.chunks.toDF(), Seq("chunkId"))
     io.merge(spark, "chunk_embeddings", r.chunkEmbeddings.toDF(), Seq("chunkId"))
     io.merge(spark, "terms",
       r.terms.toDF().dropDuplicates("chunkId", "text", "termType"),
       Seq("chunkId", "text", "termType"))
-    io.merge(spark, "edges", r.edges.toDF(), Seq("subj", "pred", "obj"))
-    io.merge(spark, "canonical_edges", r.canonicalEdges.toDF(),
-      Seq("subj", "pred", "obj"))
-    io.merge(spark, "vertices", r.vertices.toDF(), Seq("name"))
+    io.merge(spark, "edges", edgesPart, Seq("subj", "pred", "obj"), Seq("pbucket"))
+    io.merge(spark, "canonical_edges", canonEdgesPart,
+      Seq("subj", "pred", "obj"), Seq("pbucket"))
+    io.merge(spark, "vertices", verticesPart, Seq("name"), Seq("nbucket"))
     io.merge(spark, "aliases", r.aliases.toDF(), Seq("a", "b"))
     val tableCounts = Seq("chunks", "chunk_embeddings", "terms", "edges",
       "canonical_edges", "vertices", "aliases")

@@ -1,0 +1,78 @@
+package graft.kg
+
+import graft.kg.fixtures.CorpusGen
+import graft.kg.pipeline.{ParquetTableIO, Pipeline}
+import graft.ops.Skew
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IncrementalSkewSuite extends AnyFunSuite {
+  lazy val spark = SparkSessionFixture.spark
+
+  test("saltedEquiJoin equals plain equi-join (hub-key spreading)") {
+    val s = spark; import s.implicits._
+    // hub-skewed left: key "main" dominates
+    val left = (1 to 500).map(i => (if (i % 5 == 0) s"k$i" else "main", i))
+      .toDF("k", "v")
+    val right = Seq(("main", "hub"), ("k5", "five"), ("k10", "ten"))
+      .toDF("k", "label")
+    val plain = left.join(right, Seq("k")).select("k", "v", "label")
+      .collect().map(_.toString).sorted
+    val salted = Skew.saltedEquiJoin(left, right, "k", salt = 8)
+      .select("k", "v", "label").collect().map(_.toString).sorted
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("rangePartitionCorpus splits the mega-repo across partitions") {
+    val s = spark; import s.implicits._
+    val gen = CorpusGen.generate(repos = 6, filesPerRepo = 10, seed = 3L)
+    val corpus = spark.createDataset(gen.rows).toDF()
+    val parts = Skew.rangePartitionCorpus(corpus, partitions = 8)
+      .withColumn("pid", spark_partition_id())
+      .filter(col("repo") === "org/repo000") // the 10× mega-repo
+      .select("pid").distinct().count()
+    assert(parts >= 2, s"mega-repo landed on $parts partition(s)")
+  }
+
+  test("incremental LSH ingest links new mentions to existing entities") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftinc").toString
+    val io = new ParquetTableIO(dir)
+    // hash-embedder cosine("batchengine", "batch engine") ≈ 0.78 — use a
+    // threshold below it (0.96 is the E5 calibration, SURVEY.md §7.5)
+    val cfg = GraftConfig(linkMode = "lsh", linkThreshold = 0.7)
+
+    // batch 1: establish entity "batchEngine" (lowercased: batchengine)
+    val batch1 = Seq(CorpusRow("r", "a.scala", "c1", "scala",
+      "BatchEngine imports module parseTree."))
+    new Pipeline(cfg).materialize(spark.createDataset(batch1), io)
+    assert(io.read(spark, "vertices").filter(col("name") === "batchengine").count() == 1)
+
+    // batch 2: near-duplicate mention "batch engine" must be linked to
+    // batch 1's existing entity (alias pair spans batches; rewriting old
+    // edges to the new canonical is a compaction/read-time concern)
+    val batch2 = Seq(CorpusRow("r", "b.scala", "c2", "scala",
+      "Batch engine calls function sortTree."))
+    new Pipeline(cfg).materialize(spark.createDataset(batch2), io)
+    val aliasPairs = io.read(spark, "aliases")
+      .select("a", "b").collect().map(r => Set(r.getString(0), r.getString(1)))
+    assert(aliasPairs.contains(Set("batch engine", "batchengine")),
+      s"missing cross-batch alias pair, got ${aliasPairs.mkString(", ")}")
+  }
+
+  test("partitioned layout: edge table written under pbucket dirs") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftpart").toString
+    val io = new ParquetTableIO(dir)
+    val corpus = spark.createDataset(
+      CorpusGen.generate(repos = 3, filesPerRepo = 4, seed = 9L).rows)
+    new Pipeline(GraftConfig(linkMode = "exact")).materialize(corpus, io)
+    val bucketDirs = new java.io.File(s"$dir/edges").listFiles()
+      .filter(_.getName.startsWith("pbucket="))
+    assert(bucketDirs.nonEmpty, "edges not partitioned by pbucket")
+    // reads prune by partition column
+    val one = io.read(spark, "edges").filter(col("pbucket") === bucketDirs.head
+      .getName.stripPrefix("pbucket=").toInt)
+    assert(one.count() > 0)
+  }
+}
