@@ -28,6 +28,27 @@ object Queries {
       kgResult(s, dir, "exact").terms.toDF()
         .dropDuplicates("chunkId", "text", "termType")
         .orderBy("chunkId", "termType", "text")),
+    // query-side retrieval over the built graph (rows-only; the score
+    // specs are covered by oracles q04-q07/q20 and RetrievalSuite)
+    "kg_hybrid_search" -> ((s: SparkSession, dir: String) => {
+      val r = kgResult(s, dir, "exact")
+      new graft.kg.retrieve.Retrieval(new graft.kg.embed.HashEmbedder())
+        .hybridSearch(r.terms.toDF(), r.chunks, r.chunkEmbeddings,
+          "utils imports module parseTree")
+    }),
+    "kg_context_search" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val r = kgResult(s, dir, "exact")
+      val retrieval = new graft.kg.retrieve.Retrieval(new graft.kg.embed.HashEmbedder())
+      val hits = retrieval.termSearch(r.terms.toDF(), r.chunks, "parseTree utils")
+        .select(col("chunkId"), col("score"))
+      retrieval.withContext(hits, r.chunks)
+    }),
+    "kg_relationship_search" -> ((s: SparkSession, dir: String) => {
+      val r = kgResult(s, dir, "exact")
+      new graft.kg.retrieve.Retrieval(new graft.kg.embed.HashEmbedder())
+        .relationshipSearch(r.edges.toDF(), "What does Utils use?")
+    }),
     "kg_canonical_lsh" -> ((s: SparkSession, dir: String) => {
       // the reference's 0.96 cosine threshold is calibrated to E5
       // embeddings (triplets.py:260); the deterministic hash embedder

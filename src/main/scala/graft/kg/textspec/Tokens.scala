@@ -52,6 +52,23 @@ object Tokens {
     tokenize(text).filter(isAlnum).map(_.toLowerCase)
 
   /** Token count for the chunk budget (reference `core/ingest.py:86`:
-    * `len(nltk.word_tokenize(sent))` — punctuation counts). */
-  def count(text: String): Int = tokenize(text).size
+    * `len(nltk.word_tokenize(sent))` — punctuation counts). Allocation-free
+    * state machine equal to `tokenize(text).size` (hot path: runs per
+    * sentence AND per chunk in the greedy chunker). */
+  def count(text: String): Int = {
+    if (text == null || text.isEmpty) return 0
+    var n = 0
+    var i = 0
+    val len = text.length
+    var inWord = false
+    while (i < len) {
+      val c = text(i)
+      if (c.isWhitespace) inWord = false
+      else if (isWordChar(c)) {
+        if (!inWord) { n += 1; inWord = true }
+      } else { n += 1; inWord = false } // single-char punct token
+      i += 1
+    }
+    n
+  }
 }

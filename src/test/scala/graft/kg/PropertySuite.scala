@@ -54,6 +54,12 @@ class PropertySuite extends AnyFunSuite {
     })
   }
 
+  test("token count fast path equals tokenize(text).size on arbitrary strings") {
+    check("count", Prop.forAll(Gen.asciiPrintableStr) { (s: String) =>
+      Tokens.count(s) == Tokens.tokenize(s).size
+    })
+  }
+
   test("dedup idempotence: distinct∘distinct == distinct (MERGE law)") {
     check("dedup", Prop.forAll(Gen.listOf(Gen.zip(word, word, word))) {
       (ts: List[(String, String, String)]) =>
