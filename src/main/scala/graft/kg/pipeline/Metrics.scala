@@ -47,4 +47,27 @@ object Metrics {
   def snapshot: Map[String, Long] = observed.asScala.toMap
 
   def clear(): Unit = observed.clear()
+
+  private val accumulators =
+    new ConcurrentHashMap[String, org.apache.spark.util.LongAccumulator]()
+
+  /** Per-stage row accumulator for OBJECT-SPACE stages: a `CollectMetrics`
+    * (observe) node between two typed `mapPartitions`/`flatMap` stages
+    * blocks Catalyst's EliminateSerialization fusion and forces an extra
+    * serialize/deserialize of every row — an accumulator inside the
+    * closure is plan-invisible and additionally yields true per-partition
+    * counts (north-rule per-partition lineage). NOTE: accumulators count
+    * rows PROCESSED — a stage recomputed by several actions accumulates
+    * per execution; exact per-stage counts come from the checkpoint
+    * manifests (single execution at write time). */
+  def accumulator(spark: SparkSession, stage: String): org.apache.spark.util.LongAccumulator =
+    accumulators.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}/$stage",
+      _ => spark.sparkContext.longAccumulator(s"graft_$stage"))
+
+  /** Accumulated rows-processed per object-space stage. */
+  def accumulatorSnapshot: Map[String, Long] =
+    accumulators.asScala.map { case (k, v) =>
+      k.split('/').last -> v.value.toLong
+    }.toMap
 }

@@ -70,8 +70,8 @@ final class Pipeline(
     val docs = Ingest.docs(balanced)
 
     val chunks = ckpt.stage("chunks", "v1", fp) {
-      Metrics.observeRows(
-        Ingest.chunks(docs, config.maxTokensPerChunk).toDF(), "chunks")
+      Ingest.chunks(docs, config.maxTokensPerChunk,
+        Some(Metrics.accumulator(spark, "chunks"))).toDF()
     }.as[Chunk]
 
     val embeddings = Ingest.chunkEmbeddings(chunks, embedder)

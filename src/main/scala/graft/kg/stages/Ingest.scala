@@ -63,11 +63,19 @@ object Ingest {
     }
   }
 
-  /** Docs → chunks: per-row flatMap (no shuffle — see object doc). */
-  def chunks(docs: Dataset[Doc], maxTokens: Int): Dataset[Chunk] = {
+  /** Docs → chunks: per-row flatMap (no shuffle — see object doc).
+    * `counter` (optional) counts emitted chunks without adding a plan
+    * node — an observe node here would break object-space fusion with the
+    * downstream extraction stage (see [[graft.kg.pipeline.Metrics]]). */
+  def chunks(docs: Dataset[Doc], maxTokens: Int,
+      counter: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[Chunk] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.flatMap(d => chunkDoc(d.docId, d.content, maxTokens))
+    docs.flatMap { d =>
+      val cs = chunkDoc(d.docId, d.content, maxTokens)
+      counter.foreach(_.add(cs.size))
+      cs
+    }
   }
 
   /** Chunks → embeddings, `mapPartitions`-batched with one embedder init
