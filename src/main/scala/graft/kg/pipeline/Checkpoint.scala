@@ -37,8 +37,10 @@ final class Checkpoint(spark: SparkSession, root: String, enabled: Boolean) {
   }
 
   private def manifestJson(specVersion: String, inputFingerprint: String,
-      rows: Long): String =
-    s"""{"specVersion":"$specVersion","inputFingerprint":"$inputFingerprint","rows":$rows}"""
+      rows: Long, partRows: Seq[(String, Long)]): String = {
+    val parts = partRows.map { case (f, n) => s""""$f":$n""" }.mkString("{", ",", "}")
+    s"""{"specVersion":"$specVersion","inputFingerprint":"$inputFingerprint","rows":$rows,"partitionRows":$parts}"""
+  }
 
   /** Run `compute` for `stage`, or read the prior result if a matching
     * checkpoint exists. `inputFingerprint` must change when upstream data
@@ -56,8 +58,18 @@ final class Checkpoint(spark: SparkSession, root: String, enabled: Boolean) {
         val df = compute
         df.write.mode(SaveMode.Overwrite).parquet(dataPath(stageName))
         val out = spark.read.parquet(dataPath(stageName))
+        // per-partition lineage: rows per written file (file = partition
+        // of the stage output), one aggregation pass
+        import org.apache.spark.sql.functions.{count, input_file_name, lit}
+        val partRows = out
+          .groupBy(input_file_name().as("file"))
+          .agg(count(lit(1)).as("rows"))
+          .collect()
+          .map(r => (new Path(r.getString(0)).getName, r.getLong(1)))
+          .sortBy(_._1)
         writeManifest(stageName,
-          manifestJson(specVersion, inputFingerprint, out.count()))
+          manifestJson(specVersion, inputFingerprint,
+            partRows.map(_._2).sum, partRows.toSeq))
         out
     }
   }
