@@ -64,4 +64,32 @@ class FunctionsSuite extends AnyFunSuite {
     assert(ex.getMessage.toLowerCase.contains("cosine_sim") ||
       ex.getMessage.toLowerCase.contains("data type"))
   }
+
+  test("topk_by_score equals orderBy.limit, globally and per group") {
+    val s = spark; import s.implicits._
+    import graft.functions.TopKByScore.topk_by_score
+    val df = (1 to 500).map(i => (i % 7, i * 0.37 % 11, s"p$i"))
+      .toDF("g", "score", "payload").cache()
+    // global top-10
+    val viaAgg = df.select(topk_by_score($"score", $"payload", 10).as("t"))
+      .select(explode($"t").as("r")).select($"r.score", $"r.payload")
+      .collect().map(r => (r.getDouble(0), r.getString(1))).toSeq
+    val viaSort = df.orderBy($"score".desc, $"payload")
+      .select($"score", $"payload").limit(10)
+      .collect().map(r => (r.getDouble(0), r.getString(1))).toSeq
+    assert(viaAgg == viaSort)
+    // per-group top-3 composes under GROUP BY (no window sort)
+    val perGroup = df.groupBy($"g")
+      .agg(topk_by_score($"score", $"payload", 3).as("t"))
+      .select($"g", explode($"t").as("r"))
+      .select($"g", $"r.score", $"r.payload")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getString(2)))
+      .groupBy(_._1)
+    perGroup.foreach { case (g, rows) =>
+      val expected = df.filter($"g" === g)
+        .orderBy($"score".desc, $"payload").limit(3)
+        .collect().map(r => (g, r.getDouble(1), r.getString(2))).toSeq
+      assert(rows.toSeq == expected, s"group $g mismatch")
+    }
+  }
 }
