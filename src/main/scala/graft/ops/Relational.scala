@@ -145,6 +145,23 @@ object Relational {
         .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
     }),
 
+    // Per-group top-k via the custom bounded-heap TypedImperativeAggregate
+    // (graft.functions.TopKByScore) — O(k) task state instead of a window
+    // sort; result equals the row_number formulation (the oracle).
+    "q34_topk_aggregate" -> ((s, dir) => {
+      import graft.functions.TopKByScore.topk_by_score
+      t(s, dir, "customer")
+        .select(col("c_nationkey"),
+          col("c_acctbal"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("cust"))
+        .groupBy(col("c_nationkey"))
+        .agg(topk_by_score(col("c_acctbal"), col("cust"), 3).as("t"))
+        .select(col("c_nationkey"), posexplode(col("t")).as(Seq("pos", "r")))
+        .select(col("c_nationkey"), (col("pos") + 1).as("rk"),
+          col("r.score").as("c_acctbal"), col("r.payload").as("cust"))
+        .orderBy(col("c_nationkey"), col("rk"))
+    }),
+
     // A2/U1 union + max-score dedup (retrieval.py:347-361).
     "q12_union_max_dedup" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -224,6 +241,15 @@ object Relational {
     "q11_dedup_merge" ->
       """SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem
          ORDER BY 1, 2, 3""",
+    "q34_topk_aggregate" ->
+      """SELECT c_nationkey, rk, c_acctbal, cust FROM (
+           SELECT c_nationkey, c_acctbal,
+                  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS cust,
+                  row_number() OVER (PARTITION BY c_nationkey
+                    ORDER BY c_acctbal DESC,
+                             lpad(CAST(c_custkey AS VARCHAR), 10, '0')) AS rk
+           FROM customer)
+         WHERE rk <= 3 ORDER BY c_nationkey, rk""",
     "q12_union_max_dedup" ->
       """WITH u AS (
            SELECT o_custkey, CAST(count(*) AS DOUBLE) AS score FROM orders
