@@ -165,6 +165,21 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Rolling-hash document fingerprint (Rabin-Karp-style polynomial fold
+    // over md5-derived token hashes, mod 1e9+7 — engine-portable exact
+    // integer arithmetic; base 131).
+    "q35_rolling_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), expr(
+          """transform(split(text, ' '),
+             t -> CAST(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) AS BIGINT))""")
+          .as("hs"))
+        .select(col("doc_id"), expr(
+          """aggregate(slice(hs, 2, size(hs) - 1), hs[0],
+             (acc, h) -> (acc * 131L + h) % 1000000007L)""").as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprinting: md5 of whitespace-normalized text +
     // distinct-fingerprint count per source.
     "q24_fingerprint" -> ((s, dir) => {
@@ -241,6 +256,13 @@ object TextOps {
         s"""SELECT doc_id, $predictedSql, score_en, score_de, score_es, score_fr
             FROM (SELECT doc_id, $markersSql FROM documents)
             ORDER BY doc_id""",
+      "q35_rolling_fingerprint" ->
+        """SELECT doc_id,
+           list_reduce(
+             list_transform(string_split(text, ' '),
+               t -> ('0x' || substr(md5(t), 1, 8))::BIGINT),
+             (acc, h) -> (acc * 131 + h) % 1000000007) AS fp
+           FROM documents ORDER BY doc_id""",
       "q24_fingerprint" ->
         """SELECT source, count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_distinct,
            count(*) AS n_docs
