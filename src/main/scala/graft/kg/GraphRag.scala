@@ -1,0 +1,94 @@
+package graft.kg
+
+import graft.kg.embed.{Embedder, HashEmbedder}
+import graft.kg.extract.{RuleSVOExtractor, TripletExtractor}
+import graft.kg.pipeline.{GraphTableIO, ParquetTableIO, Pipeline}
+import graft.kg.retrieve.Retrieval
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** User-facing facade mirroring the reference CLI surface
+  * (`cli/main.py:447-487`): `graphrag process` → [[ingest]],
+  * `graphrag query` → [[query]] (hybrid + triplets by default,
+  * `--with-context` → context expansion), `stats` → [[stats]],
+  * `reset` → [[reset]]. A user of the reference switches by pointing
+  * this at a corpus table and a graph-table root instead of Neo4j/Qdrant
+  * endpoints.
+  */
+final class GraphRag(
+    spark: SparkSession,
+    io: GraphTableIO,
+    config: GraftConfig = GraftConfig(),
+    embedder: Embedder = new HashEmbedder(),
+    extractor: TripletExtractor = new RuleSVOExtractor()) {
+
+  private val pipeline = new Pipeline(config, embedder, extractor)
+  private val retrieval = new Retrieval(embedder, config)
+
+  final case class QueryResult(
+      chunks: DataFrame, // (chunkId, score, text[, is_match ...])
+      triplets: Option[DataFrame]) // (entity, subj, pred, obj, ...)
+
+  /** `graphrag process`: ingest a corpus batch into the graph tables
+    * (idempotent MERGE; incremental linking in lsh mode). Returns stage
+    * counters. */
+  def ingest(corpus: Dataset[CorpusRow]): Map[String, Long] =
+    pipeline.materialize(corpus, io)
+
+  private def chunksDs = {
+    import spark.implicits._
+    io.read(spark, "chunks").as[Chunk]
+  }
+  private def embeddingsDs = {
+    import spark.implicits._
+    io.read(spark, "chunk_embeddings").as[ChunkEmbedding]
+  }
+
+  /** `graphrag query` (reference defaults: hybrid retrieval +
+    * include_triplets=true, with_context=false — `cli/main.py:176-191`,
+    * `config.py:133`). */
+  def query(
+      q: String,
+      topK: Int = config.topK,
+      withContext: Boolean = false,
+      includeTriplets: Boolean = true): QueryResult = {
+    val terms = io.read(spark, "terms")
+    val hits =
+      if (withContext) {
+        // §3.3: graph-only retrieval + ±contextSize range-join expansion
+        val graphHits = retrieval.termSearch(terms, chunksDs, q, topK)
+          .select(col("chunkId"), col("score"))
+        retrieval.withContext(graphHits, chunksDs, config.contextSize)
+      } else {
+        retrieval.hybridSearch(terms, chunksDs, embeddingsDs, q, topK)
+      }
+    val triplets =
+      if (includeTriplets)
+        Some(retrieval.relationshipSearch(io.read(spark, "edges"), q, topK))
+      else None
+    QueryResult(hits, triplets)
+  }
+
+  /** `graphrag stats`: table row counts (the reference's node/rel
+    * counts, `cli/main.py:90-104`). */
+  def stats(): Map[String, Long] =
+    Seq("chunks", "chunk_embeddings", "terms", "edges", "canonical_edges",
+      "vertices", "aliases")
+      .filter(io.exists(spark, _))
+      .map(t => t -> io.read(spark, t).count()).toMap
+
+  /** `graphrag reset` (`cli/main.py:36-60`): destructive truncate of all
+    * graph tables. */
+  def reset(): Unit =
+    Seq("chunks", "chunk_embeddings", "terms", "edges", "canonical_edges",
+      "vertices", "aliases").foreach { t =>
+      if (io.exists(spark, t))
+        io.overwrite(spark, t, io.read(spark, t).limit(0))
+    }
+}
+
+object GraphRag {
+  /** Convenience constructor over a parquet table root. */
+  def apply(spark: SparkSession, root: String): GraphRag =
+    new GraphRag(spark, new ParquetTableIO(root))
+}
