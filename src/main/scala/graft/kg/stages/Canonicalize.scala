@@ -1,7 +1,7 @@
 package graft.kg.stages
 
 import graft.kg._
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -11,59 +11,78 @@ import org.apache.spark.storage.StorageLevel
   * The reference's J4 "canonicalization" is a per-triplet cross-product of
   * alias sets (`triplets.py:371-398`). The rebuild replaces it with a
   * proper global merge: alias pairs from [[Link]] form an undirected
-  * graph; each component's canonical name is its lexicographic minimum.
+  * graph; each component's canonical name is its minimum (lexicographic).
   *
-  * Algorithm: iterative min-label propagation on DataFrames (the
-  * DataFrame-native equivalent of large-star/small-star — Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond", SoCC'14). Alias
-  * components are tiny (the top-10-per-probe cap bounds degree, like the
-  * reference's cap bounds its cross-product at 11³), so convergence is a
-  * handful of iterations; each iteration `localCheckpoint`s to truncate
-  * lineage (SURVEY.md §7.6.5).
+  * Algorithm: alternating LARGE-STAR / SMALL-STAR on DataFrames (Kiveris
+  * et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+  * O(log d) rounds, supernode-safe: large-star splits high-degree nodes'
+  * neighborhoods instead of funneling them through one reducer). Each
+  * round `localCheckpoint`s to truncate lineage (SURVEY.md §7.6.5).
+  * Alias components here are small (top-10-per-probe cap bounds degree),
+  * but the algorithm is chosen for the 10^12-file regime where hub
+  * entities produce components with millions of members.
   */
 object Canonicalize {
 
-  /** name → canonicalName for every name appearing in `aliases`; names
-    * with no alias edges are their own canonical (identity is implicit —
-    * [[apply]] only materializes non-identity mappings). */
+  /** One large-star round: for every node u (over symmetric edges),
+    * m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u) with v > u. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    sym.groupBy(col("u"))
+      .agg(collect_set(col("v")).as("ns"))
+      .select(col("u"), least(col("u"), array_min(col("ns"))).as("m"), col("ns"))
+      .select(explode(expr("filter(ns, x -> x > u)")).as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One small-star round: orient edges parent-ward (u = max, v = min);
+    * for every u, m = min(smaller-neighbors ∪ {u}); emit (v, m) for each
+    * smaller neighbor v plus (u, m). */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+    oriented.groupBy(col("u"))
+      .agg(collect_set(col("v")).as("ns"))
+      .select(col("u"), array_min(col("ns")).as("m"), col("ns"))
+      .select(col("u"), col("m"),
+        explode(concat(col("ns"), array(col("u")))).as("n"))
+      .select(col("n").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** name → canonicalName for every name appearing in `aliases`
+    * (non-identity mappings only appear for linked names; [[canonicalMap]]
+    * adds the identity rows). */
   def connectedComponents(
       aliases: Dataset[AliasPair],
-      maxIterations: Int = 25): Dataset[CanonicalMapping] = {
+      maxIterations: Int = 30): Dataset[CanonicalMapping] = {
     val spark = aliases.sparkSession
     import spark.implicits._
 
-    // symmetric edge list (a,b) + (b,a), distinct
-    val edges = aliases.select($"a", $"b")
-      .unionByName(aliases.select($"b".as("a"), $"a".as("b")))
+    var edges = aliases.select(col("a").as("u"), col("b").as("v"))
+      .where(col("u") =!= col("v"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // labels: every vertex starts as its own canonical
-    var labels = edges.select($"a".as("name")).distinct()
-      .withColumn("label", $"name")
       .localCheckpoint()
 
-    var converged = false
+    var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // candidate label per vertex = min(own label, min of neighbor labels)
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("name", "b"), Seq("b"))
-        .groupBy($"a".as("name"))
-        .agg(min($"label").as("nlabel"))
-      val next = labels
-        .join(neighborMin, Seq("name"), "left")
-        .select($"name",
-          least($"label", coalesce($"nlabel", $"label")).as("label"))
-        .localCheckpoint() // truncate lineage per iteration
-      val changed = next.as("n").join(labels.as("o"), Seq("name"))
-        .filter($"n.label" =!= $"o.label").limit(1).count() > 0
-      labels = next
-      converged = !changed
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // fixpoint: edge sets equal (cheap symmetric difference count)
+      val diff = next.exceptAll(edges).limit(1).isEmpty &&
+        edges.exceptAll(next).limit(1).isEmpty
+      converged = diff
+      edges = next
       iter += 1
     }
-    edges.unpersist()
-    labels.select($"name", $"label".as("canonicalName")).as[CanonicalMapping]
+    // at fixpoint every edge is (node, componentMin)
+    edges.select(col("u").as("name"), col("v").as("canonicalName"))
+      .groupBy(col("name")).agg(min(col("canonicalName")).as("canonicalName"))
+      .as[CanonicalMapping]
   }
 
   /** Full canonical map over a mention set: identity for unlinked names. */
@@ -73,9 +92,9 @@ object Canonicalize {
     val spark = mentionNames.sparkSession
     import spark.implicits._
     val cc = connectedComponents(aliases)
-    mentionNames.select($"name").distinct()
+    mentionNames.select(col("name")).distinct()
       .join(cc, Seq("name"), "left")
-      .select($"name", coalesce($"canonicalName", $"name").as("canonicalName"))
+      .select(col("name"), coalesce(col("canonicalName"), col("name")).as("canonicalName"))
       .as[CanonicalMapping]
   }
 }

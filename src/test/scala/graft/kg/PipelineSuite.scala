@@ -104,8 +104,10 @@ class PipelineSuite extends AnyFunSuite {
     val aliases = spark.createDataset(Seq(
       AliasPair("a", "b", 0.99), AliasPair("b", "c", 0.98),
       AliasPair("x", "y", 0.97)))
-    val cc = Canonicalize.connectedComponents(aliases).collect()
+    val ccRaw = Canonicalize.connectedComponents(aliases).collect()
       .map(c => c.name -> c.canonicalName).toMap
+    // component minima are implicit identities (canonicalMap adds them)
+    def cc(n: String) = ccRaw.getOrElse(n, n)
     assert(cc("a") == "a" && cc("b") == "a" && cc("c") == "a")
     assert(cc("x") == "x" && cc("y") == "x")
   }
