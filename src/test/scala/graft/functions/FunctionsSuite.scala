@@ -92,4 +92,18 @@ class FunctionsSuite extends AnyFunSuite {
       assert(rows.toSeq == expected, s"group $g mismatch")
     }
   }
+
+  test("GraftExtensions injects SQL functions without explicit register") {
+    // the fixture session sets spark.sql.extensions=graft.functions.
+    // GraftExtensions — these names must resolve with no register() call
+    val r = spark.sql(
+      """SELECT t.score, t.payload FROM (
+           SELECT explode(topk_by_score(s, p, 2)) AS t FROM VALUES
+             (1.0D, 'a'), (3.0D, 'b'), (2.0D, 'c') AS v(s, p))""")
+      .collect().map(r => (r.getDouble(0), r.getString(1))).toSeq
+    assert(r == Seq((3.0, "b"), (2.0, "c")))
+    val c = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D))").head().getDouble(0)
+    assert(math.abs(c - 11.0) < 1e-12)
+  }
 }

@@ -9,6 +9,8 @@ object SparkSessionFixture {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the spark-submit path: functions injected via extensions, no code
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
