@@ -3,7 +3,6 @@ package graft.kg.stages
 import graft.kg._
 import graft.kg.embed.Embedder
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-import org.apache.spark.ml.linalg.{Vector => MLVector}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._

@@ -17,12 +17,6 @@ object SimilarityOps {
   private def asDouble(c: String) =
     expr(s"transform($c, x -> CAST(x AS DOUBLE))")
 
-  /** Dot product unrolled into plain column arithmetic (left-to-right sum,
-    * matching sequential engine semantics) — stays in WholeStageCodegen,
-    * no per-row array allocation. `dim` must be the actual array length. */
-  def unrolledDot(a: String, b: String, dim: Int): org.apache.spark.sql.Column =
-    (0 until dim).map(i => col(a).getItem(i) * col(b).getItem(i))
-      .reduceLeft(_ + _)
 
   /** Deterministic sign-sketch bucket: for hyperplane k (0..nPlanes-1),
     * pseudo-random ±1 weights per dimension derived from (k, dim index)
