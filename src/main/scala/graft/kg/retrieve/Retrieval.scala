@@ -113,6 +113,21 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
       .orderBy(col("score").desc, col("docId"), col("index"))
   }
 
+  /** Entity search (reference `retrieval.py:231-263`): queries
+    * `MENTIONS_ENTITY` relationships — which NOTHING in the reference
+    * ever creates (SURVEY.md §1.2 dead schema element), so the reference
+    * always returns 0 rows. Reproduced faithfully: there is no
+    * mentions-entity table, so the result is structurally empty. Kept so
+    * a reference user finds the same API with the same (degenerate)
+    * behavior rather than a silent omission. */
+  def entitySearch(chunks: Dataset[Chunk], query: String,
+      topK: Int = config.topK): DataFrame = {
+    val spark = chunks.sparkSession
+    chunks.toDF()
+      .select(col("chunkId"), col("text"), lit(0.0).as("score"))
+      .limit(0)
+  }
+
   /** Relationship (triplet) lookup per query entity
     * (`retrieval.py:265-314,607-637`): capitalized-phrase entity
     * candidates (P7 regex), per-entity edge filter, O5 per-entity and

@@ -49,6 +49,29 @@ class PipelineSuite extends AnyFunSuite {
     assert(recall >= 0.95, s"recall $recall < 0.95")
   }
 
+  test("lsh mode: canonicalized truth is preserved (recall under canonicalization)") {
+    val s = spark; import s.implicits._
+    val result = new Pipeline(GraftConfig(linkMode = "lsh", linkThreshold = 0.85))
+      .run(corpus)
+    val canon = result.canonical.collect()
+      .map(c => c.name -> c.canonicalName).toMap
+    def c(n: String) = canon.getOrElse(n, n)
+    val emitted = result.canonicalEdges
+      .select($"subj", $"pred", $"obj").as[(String, String, String)]
+      .collect().toSet
+    // every ground-truth triple must appear after mapping through the
+    // SAME canonicalization — linking must never lose facts
+    val canonTruth = gen.truth.map { case (a, p, o) => (c(a), c(p), c(o)) }
+    val missing = canonTruth -- emitted
+    assert(missing.isEmpty, s"lost ${missing.size} canonical facts, e.g. ${missing.take(3)}")
+  }
+
+  test("entity_search reproduces the reference's dead path (always empty)") {
+    val chunks = stages.Ingest.chunks(stages.Ingest.docs(corpus), 200)
+    val r = new graft.kg.retrieve.Retrieval(new embed.HashEmbedder())
+    assert(r.entitySearch(chunks, "anything").count() == 0)
+  }
+
   test("edge set is idempotent under re-merge (MERGE semantics, U4)") {
     val s = spark; import s.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graftio").toString
