@@ -33,7 +33,10 @@ object SimilarityOps {
     expr(planes.mkString("(", " + ", ")"))
   }
 
-  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def defs: Map[String, (SparkSession, String) => DataFrame] =
+    knnDefs ++ featureDefs
+
+  private val knnDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 per probe (probes = vec_id < 5). The
     // probe side is tiny → broadcast; ranks only (fp-order safe).
     "q30_knn_bruteforce" -> ((s, dir) => {
@@ -90,7 +93,57 @@ object SimilarityOps {
         .orderBy(col("query_id"), col("rank"))
     }))
 
+  /** Embedding feature ops for a training-data pipeline: L2
+    * normalization and int8 quantization. Outputs are scalar digests
+    * (sum/min/max per vector) so the oracle hash-compare avoids
+    * engine-specific array stringification. */
+  private val featureDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_embed_normalize" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble("embedding").as("v"))
+        .withColumn("nrm", sqrt(expr(
+          "aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+        .select(col("vec_id"),
+          expr("transform(v, x -> x / nrm)").as("n"))
+        .select(col("vec_id"),
+          round(expr("aggregate(n, 0D, (acc, x) -> acc + x)"), 6).as("sum_n"),
+          round(expr("array_min(n)"), 6).as("min_n"),
+          round(expr("array_max(n)"), 6).as("max_n"))
+        .orderBy(col("vec_id"))
+    }),
+    "q37_embed_quantize_int8" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), expr(
+          """transform(embedding,
+             x -> CAST(greatest(least(round(CAST(x AS DOUBLE) * 127), 127D), -127D) AS BIGINT))""")
+          .as("q"))
+        .select(col("vec_id"),
+          expr("aggregate(q, 0L, (acc, x) -> acc + x)").as("sum_q"),
+          expr("array_min(q)").as("min_q"),
+          expr("array_max(q)").as("max_q"))
+        .orderBy(col("vec_id"))
+    }))
+
   def oracles: Map[String, String] = Map(
+    "q36_embed_normalize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+               FROM e)
+         SELECT vec_id,
+           round(list_sum(nv), 6) AS sum_n,
+           round(list_min(nv), 6) AS min_n,
+           round(list_max(nv), 6) AS max_n
+         FROM n ORDER BY vec_id""",
+    "q37_embed_quantize_int8" ->
+      """WITH q AS (SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(greatest(least(round(x * 127), 127), -127) AS BIGINT)) AS qv
+           FROM embeddings)
+         SELECT vec_id,
+           CAST(list_sum(qv) AS BIGINT) AS sum_q,
+           list_min(qv) AS min_q, list_max(qv) AS max_q
+         FROM q ORDER BY vec_id""",
     "q30_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          scored AS (
