@@ -78,12 +78,18 @@ final class GraphRag(
       .map(t => t -> io.read(spark, t).count()).toMap
 
   /** `graphrag reset` (`cli/main.py:36-60`): destructive truncate of all
-    * graph tables. */
+    * graph tables. The empty frame is materialized from the schema (not a
+    * limit(0) of the table itself — overwriting a path from a plan that
+    * reads the same path is undefined). */
   def reset(): Unit =
     Seq("chunks", "chunk_embeddings", "terms", "edges", "canonical_edges",
       "vertices", "aliases").foreach { t =>
-      if (io.exists(spark, t))
-        io.overwrite(spark, t, io.read(spark, t).limit(0))
+      if (io.exists(spark, t)) {
+        val schema = io.read(spark, t).schema
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        io.overwrite(spark, t, empty)
+      }
     }
 }
 
