@@ -26,8 +26,8 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
     val spark = terms.sparkSession
     import spark.implicits._
     val qTerms = Tokens.normalize(query).filterNot(Stopwords.english.contains).distinct
-    if (qTerms.isEmpty) return spark.emptyDataFrame
-      .withColumn("chunkId", lit("")).withColumn("score", lit(0.0)).limit(0)
+    if (qTerms.isEmpty) // full result schema, zero rows
+      return chunks.toDF().select($"chunkId", lit(0.0).as("score"), $"text").limit(0)
     terms
       .filter($"termType" === "unigram" && $"text".isin(qTerms: _*))
       .groupBy($"chunkId")

@@ -49,6 +49,16 @@ class RetrievalSuite extends AnyFunSuite {
     assert(hits.head.getAs[String]("chunkId") == someChunk.chunkId)
   }
 
+  test("stopword-only query: term search empty, hybrid falls back to vector side") {
+    val empty = retrieval.termSearch(result.terms.toDF(), result.chunks, "the is of")
+    assert(empty.count() == 0)
+    assert(empty.columns.toSet == Set("chunkId", "score", "text"))
+    // hybrid must still work (graph side contributes nothing)
+    val hits = retrieval.hybridSearch(result.terms.toDF(), result.chunks,
+      result.chunkEmbeddings, "the is of").collect()
+    assert(hits.nonEmpty, "vector side should still return chunks")
+  }
+
   test("hybrid merge is bounded by weights and normalization") {
     val q = gen.truth.head._1
     val hits = retrieval.hybridSearch(result.terms.toDF(), result.chunks,
