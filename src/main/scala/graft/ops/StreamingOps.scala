@@ -29,7 +29,9 @@ object StreamingOps {
       val dst = new java.io.File(stage, "events.parquet")
       java.nio.file.Files.copy(src.toPath, dst.toPath)
 
-      val queryName = "graft_stream_" + math.abs(dir.hashCode).toString
+      // unique per invocation: a memory-sink name collides on same-session
+      // re-runs otherwise
+      val queryName = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val stream = s.readStream.schema(schema).parquet(stage)
         // parquet stores TIMESTAMP_NTZ; watermarking requires TIMESTAMP —
         // session TZ is UTC, so the cast is value-preserving
