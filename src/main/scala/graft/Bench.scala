@@ -57,11 +57,15 @@ object Bench {
     }
     results += "kg_pipeline_lsh" -> kgLshSec
 
+    // a failed headline query must be visible in the JSON, not just a
+    // stderr note — otherwise broken queries publish plausible numbers
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     headline.foreach { name =>
       Queries.all.get(name).foreach { fn =>
         val sec = time {
           try fn(spark, sfDir).count()
           catch { case e: Throwable =>
+            failed += name
             System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         }
         results += name -> sec
@@ -70,12 +74,19 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.sum
     val filesPerSec = if (kgExactSec > 0) nDocs / kgExactSec else 0.0
-    println(
+    val json =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","kg_docs":$nDocs,"kg_edges":$kgEdges,""" +
-        s""""kg_files_per_sec":${f"$filesPerSec%.1f"}}""")
+        s""""kg_files_per_sec":${f"$filesPerSec%.1f"},"failed":$failedJson}"""
+    // stdout (unprefixed via build.sbt outputStrategy) AND a file copy,
+    // so the harness can parse the result either way
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH/result.json"), json)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

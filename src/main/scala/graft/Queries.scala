@@ -26,7 +26,8 @@ object Queries {
       kgResult(s, dir, "exact").chunks.toDF().orderBy("chunkId")),
     "kg_terms" -> ((s: SparkSession, dir: String) =>
       kgResult(s, dir, "exact").terms.toDF()
-        .dropDuplicates("chunkId", "text", "termType")
+        .groupBy("chunkId", "text", "termType")
+        .agg(count(lit(1)).as("tf")) // materialized-table shape (MERGE key + tf)
         .orderBy("chunkId", "termType", "text")),
     // query-side retrieval over the built graph (rows-only; the score
     // specs are covered by oracles q04-q07/q20 and RetrievalSuite)

@@ -10,6 +10,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets
 import scala.collection.mutable
 
 /** Top-k by score as a `TypedImperativeAggregate` with a bounded min-heap
@@ -102,7 +103,14 @@ case class TopKByScore(
     buf.foreach { case (s, p) =>
       out.writeDouble(s)
       out.writeBoolean(p != null)
-      if (p != null) out.writeUTF(p)
+      if (p != null) {
+        // length-prefixed raw UTF-8, NOT writeUTF: writeUTF throws
+        // UTFDataFormatException beyond 65535 encoded bytes, which would
+        // crash partial aggregation on long payloads (e.g. chunk texts)
+        val b = p.getBytes(StandardCharsets.UTF_8)
+        out.writeInt(b.length)
+        out.write(b)
+      }
     }
     out.flush()
     bos.toByteArray
@@ -114,7 +122,11 @@ case class TopKByScore(
     val n = in.readInt()
     (0 until n).foreach { _ =>
       val s = in.readDouble()
-      val p = if (in.readBoolean()) in.readUTF() else null
+      val p = if (in.readBoolean()) {
+        val b = new Array[Byte](in.readInt())
+        in.readFully(b)
+        new String(b, StandardCharsets.UTF_8)
+      } else null
       buf.enqueue((s, p))
     }
     buf

@@ -55,10 +55,6 @@ final class Pipeline(
 
     val ckpt = new Checkpoint(spark, config.checkpointDir.getOrElse(""),
       enabled = config.checkpointDir.isDefined)
-    // input fingerprint for resume: config knobs that change stage output.
-    // At scale this would be the Iceberg snapshot id of the corpus table.
-    val fp = s"mt=${config.maxTokensPerChunk};link=${config.linkMode};" +
-      s"thr=${config.linkThreshold};topk=${config.linkTopK}"
 
     // mega-repo skew defense: range-split (repo, path) so a 10×-sized
     // repo spreads over many tasks instead of hashing onto one
@@ -68,6 +64,21 @@ final class Pipeline(
       else corpus
 
     val docs = Ingest.docs(balanced)
+
+    // input fingerprint for resume: config knobs that change stage output
+    // PLUS corpus identity — a checkpoint from a different corpus must
+    // never be silently reused. Identity = row count + order-independent
+    // sum of per-row crc32(contentSha256) (one cheap action, only when
+    // checkpointing is on; at scale = the Iceberg snapshot id instead).
+    def identityFp(df: DataFrame, c: org.apache.spark.sql.Column): String =
+      if (!config.checkpointDir.isDefined) ""
+      else {
+        val r = df.agg(count(lit(1)), sum(crc32(c))).head
+        s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+      }
+    val fp = s"mt=${config.maxTokensPerChunk};link=${config.linkMode};" +
+      s"thr=${config.linkThreshold};topk=${config.linkTopK}" +
+      s";corpus=${identityFp(docs.toDF(), col("contentSha256"))}"
 
     val chunks = ckpt.stage("chunks", "v1", fp) {
       Ingest.chunks(docs, config.maxTokensPerChunk,
@@ -93,7 +104,12 @@ final class Pipeline(
 
     val aliases: Dataset[AliasPair] = config.linkMode match {
       case "lsh" =>
-        ckpt.stage("aliases", "v1", fp) {
+        // the aliases stage ALSO depends on the prior graph state in
+        // incremental mode — fold a vertices-snapshot marker into its
+        // fingerprint (but not into chunks/triples, which don't)
+        val evFp = existingVertices
+          .map(ev => s";ev=${identityFp(ev, col("name"))}").getOrElse("")
+        ckpt.stage("aliases", "v1", fp + evFp) {
           Link.lshAliases(linkUniverse, config.linkThreshold, config.linkTopK).toDF()
         }.as[AliasPair]
       case _ => Link.exactAliases(spark) // stock reference behavior
@@ -134,8 +150,12 @@ final class Pipeline(
       .withColumn("nbucket", pmod(hash(org.apache.spark.sql.functions.col("name")), lit(32)))
     io.merge(spark, "chunks", r.chunks.toDF(), Seq("chunkId"))
     io.merge(spark, "chunk_embeddings", r.chunkEmbeddings.toDF(), Seq("chunkId"))
+    // terms dedup on the MERGE key but KEEP the in-flight multiplicity as
+    // a tf column — termSearch's documented score is TF summed per chunk,
+    // which a bare dropDuplicates would silently turn into presence-count
     io.merge(spark, "terms",
-      r.terms.toDF().dropDuplicates("chunkId", "text", "termType"),
+      r.terms.toDF().groupBy("chunkId", "text", "termType")
+        .agg(count(lit(1)).as("tf")),
       Seq("chunkId", "text", "termType"))
     io.merge(spark, "edges", edgesPart, Seq("subj", "pred", "obj"), Seq("pbucket"))
     io.merge(spark, "canonical_edges", canonEdgesPart,

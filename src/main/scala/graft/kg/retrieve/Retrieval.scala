@@ -28,10 +28,16 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
     val qTerms = Tokens.normalize(query).filterNot(Stopwords.english.contains).distinct
     if (qTerms.isEmpty) // full result schema, zero rows
       return chunks.toDF().select($"chunkId", lit(0.0).as("score"), $"text").limit(0)
+    // in-flight terms carry one row per occurrence (count them); the
+    // materialized table is deduped on the MERGE key with an explicit
+    // `tf` multiplicity column (sum it) — same TF score either way
+    val tfCol =
+      if (terms.columns.contains("tf")) sum($"tf").cast("double")
+      else count(lit(1)).cast("double")
     terms
       .filter($"termType" === "unigram" && $"text".isin(qTerms: _*))
       .groupBy($"chunkId")
-      .agg(count(lit(1)).cast("double").as("score"))
+      .agg(tfCol.as("score"))
       .join(chunks.toDF().select($"chunkId", $"text"), Seq("chunkId"))
       .orderBy($"score".desc, $"chunkId")
       .limit(topK)
@@ -122,7 +128,6 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
     * behavior rather than a silent omission. */
   def entitySearch(chunks: Dataset[Chunk], query: String,
       topK: Int = config.topK): DataFrame = {
-    val spark = chunks.sparkSession
     chunks.toDF()
       .select(col("chunkId"), col("text"), lit(0.0).as("score"))
       .limit(0)

@@ -46,7 +46,11 @@ object StreamingOps {
         .queryName(queryName)
         .trigger(Trigger.ProcessingTime(0))
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally {
+        q.stop()
+        // drop the staged copy — one leaked temp dir per invocation otherwise
+        dst.delete(); new java.io.File(stage).delete()
+      }
       s.table(queryName)
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
           col("event_type"), col("n"), col("value_c"))
