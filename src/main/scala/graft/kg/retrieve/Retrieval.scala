@@ -46,14 +46,17 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
   /** O1 vector search: embed the query ("query: " prefix,
     * `retrieval.py:93`), brute-force cosine over chunk embeddings,
     * TakeOrderedAndProject top-k (`retrieval.py:107-161`). The query
-    * vector is a broadcast literal; on unit vectors dot == cosine. */
+    * vector is a plan-time literal (broadcast with the codegen'd task
+    * binary) scored by the native dot_product expression — the scan stays
+    * columnar inside WholeStageCodegen instead of deserializing a
+    * ChunkEmbedding object per row; on unit vectors dot == cosine. */
   def vectorSearch(embeddings: Dataset[ChunkEmbedding], chunks: Dataset[Chunk],
       query: String, topK: Int = config.topK): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val qv = embedder.embedQuery(query)
-    val scored = embeddings.map(e => (e.chunkId, Embedder.dot(e.vec, qv)))
-      .toDF("chunkId", "score")
+    val scored = embeddings.toDF().select($"chunkId",
+      graft.functions.VectorFunctions.dot_product($"vec", typedLit(qv)).as("score"))
     scored
       .join(chunks.toDF().select($"chunkId", $"text"), Seq("chunkId"))
       .orderBy($"score".desc, $"chunkId")
@@ -61,12 +64,14 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
   }
 
   /** A3 min-max normalization with all-equal → 1.0
-    * (`retrieval.py:550-569`), over a (chunkId, score, text) frame. */
+    * (`retrieval.py:550-569`), over a (chunkId, score, text) frame.
+    * Global min/max via partial-aggregable `agg` + broadcast crossJoin
+    * (SURVEY.md §2.7) — an empty `Window.partitionBy()` would plan a
+    * single-partition exchange, the classic scale-killer if this is ever
+    * reused on a large frame. */
   def minMaxNormalize(results: DataFrame): DataFrame = {
-    val w = Window.partitionBy()
-    results
-      .withColumn("mn", min(col("score")).over(w))
-      .withColumn("mx", max(col("score")).over(w))
+    val stats = results.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+    results.crossJoin(broadcast(stats))
       .withColumn("score",
         when(col("mx") === col("mn"), lit(1.0))
           .otherwise((col("score") - col("mn")) / (col("mx") - col("mn"))))

@@ -63,19 +63,29 @@ object Canonicalize {
     val spark = aliases.sparkSession
     import spark.implicits._
 
-    var edges = aliases.select(col("a").as("u"), col("b").as("v"))
-      .where(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+    // per-iteration lineage barrier: localCheckpoint (executor-memory) by
+    // default; if the session has a reliable checkpoint dir configured
+    // (spark.sparkContext.setCheckpointDir), use a storage-backed
+    // checkpoint instead — at real cluster scale an executor loss would
+    // otherwise force recomputing the whole iteration chain.
+    def barrier(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+
+    var edges = barrier(
+      aliases.select(col("a").as("u"), col("b").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct())
 
     var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      // fixpoint: edge sets equal (cheap symmetric difference count)
-      val diff = next.exceptAll(edges).limit(1).isEmpty &&
-        edges.exceptAll(next).limit(1).isEmpty
-      converged = diff
+      val next = barrier(smallStar(largeStar(edges)))
+      // fixpoint: symmetric difference empty — ONE action per iteration
+      // (union of both exceptAll sides under a single limit-1 scan)
+      converged = next.exceptAll(edges)
+        .union(edges.exceptAll(next))
+        .isEmpty
       edges = next
       iter += 1
     }

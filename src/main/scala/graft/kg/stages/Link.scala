@@ -65,11 +65,15 @@ object Link {
   }
 
   /** Char-3-gram shingles of a name (matching the hash-embedder's feature
-    * space so LSH blocking and cosine re-scoring agree). */
-  private def shingles(name: String): Seq[String] = {
-    val s = "\u0001" + name.toLowerCase + "\u0002"
-    if (s.length < 3) Seq(s) else (0 to s.length - 3).map(i => s.substring(i, i + 3)).distinct
-  }
+    * space so LSH blocking and cosine re-scoring agree), as a native
+    * higher-order expression over an `s0` sentinel-wrapped column — stays
+    * inside WholeStageCodegen instead of deserializing every name through
+    * a Scala UDF closure. */
+  private def shinglesExpr: org.apache.spark.sql.Column =
+    expr(
+      """CASE WHEN length(s0) < 3 THEN array(s0)
+         ELSE array_distinct(transform(sequence(0, length(s0) - 3),
+                                       i -> substring(s0, i + 1, 3))) END""")
 
   /** J1: MinHash-LSH blocking + exact-cosine re-score ≥ threshold,
     * top-`linkTopK` per probe. Returns symmetric alias pairs (a ≠ b). */
@@ -82,8 +86,10 @@ object Link {
     val spark = mentionVecs.sparkSession
     import spark.implicits._
 
-    val shingleUdf = udf((name: String) => shingles(name))
-    val withShingles = mentionVecs.withColumn("sh", shingleUdf($"name"))
+    val withShingles = mentionVecs
+      .withColumn("s0", concat(lit("\u0001"), lower($"name"), lit("\u0002")))
+      .withColumn("sh", shinglesExpr)
+      .drop("s0")
     val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
     val feats = tf.transform(withShingles)
@@ -100,10 +106,12 @@ object Link {
         col("datasetB.name").as("b"), col("datasetB.vec").as("vb"))
       .filter($"a" < $"b") // dedupe symmetric pairs + drop self-pairs
 
-    val cosUdf = udf((x: Seq[Float], y: Seq[Float]) =>
-      Embedder.dot(x.toArray, y.toArray))
+    // EXACT re-score with the native codegen'd dot_product expression
+    // (vectors are unit-L2, so dot == cosine): the hottest loop of the
+    // linking stage stays columnar instead of deserializing two 768-float
+    // arrays per candidate pair through a UDF
     val scored = pairs
-      .withColumn("score", cosUdf($"va", $"vb"))
+      .withColumn("score", graft.functions.VectorFunctions.dot_product($"va", $"vb"))
       .filter($"score" >= threshold)
       .select($"a", $"b", $"score")
 

@@ -12,4 +12,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Unset a previously-set reliable checkpoint dir (SparkContext offers
+    * no public clear; the field is `private[spark]`). Used by tests that
+    * exercise the storage-backed CC barrier and then restore the default. */
+  def clearCheckpointDir(sc: org.apache.spark.SparkContext): Unit =
+    sc.checkpointDir = None
 }

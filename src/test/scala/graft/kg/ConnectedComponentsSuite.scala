@@ -68,4 +68,20 @@ class ConnectedComponentsSuite extends AnyFunSuite {
     val b = for (i <- 0 until 4; j <- i + 1 until 4) yield (s"b$i", s"b$j")
     checkGraph(a ++ b, "cliques")
   }
+
+  test("reliable-checkpoint barrier: same result with a storage-backed dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graftccckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val edges = (0 until 20).map(i => (f"c$i%03d", f"c${i + 1}%03d"))
+      checkGraph(edges, "chain-with-reliable-checkpoint")
+      // the barrier must actually have written to the reliable dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "no reliable checkpoint files written")
+    } finally {
+      // restore the default (local) barrier for the other suites
+      org.apache.spark.sql.graftbridge.Bridge.clearCheckpointDir(spark.sparkContext)
+    }
+  }
 }

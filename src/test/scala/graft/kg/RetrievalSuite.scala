@@ -49,6 +49,43 @@ class RetrievalSuite extends AnyFunSuite {
     assert(hits.head.getAs[String]("chunkId") == someChunk.chunkId)
   }
 
+  test("vector search plan is columnar: no UDF / object-deserialize stage") {
+    val s = spark; import s.implicits._
+    // materialize the tables so the scan side has no typed-stage lineage —
+    // the production path reads them from the graph store the same way
+    val tmp = java.nio.file.Files.createTempDirectory("graftvecplan").toString
+    result.chunkEmbeddings.write.mode("overwrite").parquet(s"$tmp/emb")
+    result.chunks.write.mode("overwrite").parquet(s"$tmp/chunks")
+    val emb = spark.read.parquet(s"$tmp/emb").as[ChunkEmbedding]
+    val chunks = spark.read.parquet(s"$tmp/chunks").as[Chunk]
+    val scored = retrieval.vectorSearch(emb, chunks, "anything", 5)
+    val plan = scored.queryExecution.executedPlan.toString
+    // the scoring must be the native dot_product expression over the
+    // parquet scan — no typed .map (DeserializeToObject/MapElements), no
+    // Scala UDF anywhere in the query
+    assert(!plan.contains("DeserializeToObject"), s"object stage in plan:\n$plan")
+    assert(!plan.contains("MapElements"), s"typed map in plan:\n$plan")
+    assert(!plan.contains("UDF("), s"UDF in plan:\n$plan")
+    assert(plan.toLowerCase.contains("dotproduct("),
+      s"native dot_product missing from plan:\n$plan")
+    assert(scored.collect().nonEmpty)
+  }
+
+  test("lsh alias re-score plan uses native expressions, not UDFs") {
+    val s = spark; import s.implicits._
+    val names = Seq("util lib", "utillib", "utility lib", "alphabeta")
+    val vecs = stages.Link.mentionEmbeddings(names.toDF("name"), new HashEmbedder())
+    val aliases = stages.Link.lshAliases(vecs, threshold = 0.8, linkTopK = 10)
+    val plan = aliases.queryExecution.executedPlan.toString.toLowerCase
+    // the MinHashLSH blocking itself is Spark ML (UDF-based internally);
+    // assert OUR stages are native: shingles via transform(...) and the
+    // re-score via dot_product (prints as "dotproduct(" in the plan)
+    assert(plan.contains("dotproduct("),
+      s"native re-score missing from plan:\n$plan")
+    assert(plan.contains("array_distinct(transform("),
+      s"higher-order shingle expr missing from plan:\n$plan")
+  }
+
   test("stopword-only query: term search empty, hybrid falls back to vector side") {
     val empty = retrieval.termSearch(result.terms.toDF(), result.chunks, "the is of")
     assert(empty.count() == 0)
