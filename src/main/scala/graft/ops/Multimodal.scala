@@ -79,5 +79,28 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }))
 
-  def oracles: Map[String, String] = Map()
+  /** The fake payload is md5-derived, so DuckDB can reconstruct the
+    * decoded features from `md5(text)` directly: body byte j from hex
+    * digits 2j/2j+1, header w/h from bytes 0/1 (low 6 bits + 16), and the
+    * stub's channel means over byte positions i % 3 == c. */
+  def oracles: Map[String, String] = Map(
+    "q32_multimodal_decode" ->
+      """WITH b AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+             list_transform(range(0, 16), j ->
+               (strpos('0123456789abcdef', substr(md5(text), CAST(2*j+1 AS INT), 1)) - 1) * 16 +
+               (strpos('0123456789abcdef', substr(md5(text), CAST(2*j+2 AS INT), 1)) - 1)) AS body
+           FROM documents),
+         m AS (
+           SELECT doc_id, media_type,
+             CAST(16 + (body[1] % 64) AS INT) AS width,
+             CAST(16 + (body[2] % 64) AS INT) AS height,
+             list_avg(list_transform([1,4,7,10,13,16], i -> CAST(body[i] AS DOUBLE))) AS m0,
+             list_avg(list_transform([2,5,8,11,14], i -> CAST(body[i] AS DOUBLE))) AS m1,
+             list_avg(list_transform([3,6,9,12,15], i -> CAST(body[i] AS DOUBLE))) AS m2
+           FROM b)
+         SELECT doc_id, media_type, width, height,
+           round((m0 + m1 + m2) / 3, 4) AS mean_feature
+         FROM m ORDER BY doc_id""")
 }

@@ -18,19 +18,30 @@ object SimilarityOps {
     expr(s"transform($c, x -> CAST(x AS DOUBLE))")
 
 
-  /** Deterministic sign-sketch bucket: for hyperplane k (0..nPlanes-1),
-    * pseudo-random ±1 weights per dimension derived from (k, dim index)
-    * via integer hashing — portable and shuffle-free. */
-  private def signBucketExpr(vCol: String, nPlanes: Int,
-      planeOffset: Int = 0): org.apache.spark.sql.Column = {
-    // weight(plane, i) = ±1 from spark hash(plane, i) — portable, no state
-    val planes = (0 until nPlanes).map { p =>
-      val pid = planeOffset + p
-      s"""(CASE WHEN aggregate(zip_with($vCol, sequence(0, size($vCol) - 1),
-              (x, i) -> x * (CAST((hash($pid, i) & 2) AS DOUBLE) - 1.0)),
-            0D, (acc, z) -> acc + z) > 0 THEN ${1L << p} ELSE 0 END)"""
+  /** ±1 hyperplane weights for plane `pid`, derived from md5 per
+    * dimension — ENGINE-PORTABLE (the q28 SimHash trick): DuckDB
+    * reproduces the identical weights from `md5(pid || '_' || i)`, so the
+    * whole LSH-ANN path is hash-checkable by the oracle. Weight = +1 when
+    * the first hex digit of md5 is odd, −1 otherwise. */
+  private def planeWeights(pid: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { i =>
+      val firstByte = md.digest(s"${pid}_$i".getBytes("UTF-8"))(0)
+      if ((((firstByte >> 4) & 0xf) % 2) == 1) 1.0 else -1.0
     }
-    expr(planes.mkString("(", " + ", ")"))
+  }
+
+  /** Deterministic sign-sketch bucket: for hyperplane k (0..nPlanes-1),
+    * the md5-derived ±1 weight vector is a plan-time literal and the
+    * projection is the native codegen'd dot_product — shuffle-free. */
+  private def signBucketExpr(vCol: String, dim: Int, nPlanes: Int,
+      planeOffset: Int = 0): org.apache.spark.sql.Column = {
+    import graft.functions.VectorFunctions.dot_product
+    (0 until nPlanes).map { p =>
+      val pid = planeOffset + p
+      when(dot_product(col(vCol), typedLit(planeWeights(pid, dim))) > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] =
@@ -59,16 +70,18 @@ object SimilarityOps {
     // LSH-bucketed ANN (random-hyperplane sign sketch): L hash tables of
     // k planes each; a candidate matches a probe in ANY table — the
     // 100TB-scale path where a full scan per probe is impossible.
-    // Rows-only (approximate by construction; recall vs the brute
-    // baseline asserted in OpsSuite).
+    // Fully oracled: the md5-derived planes make DuckDB reproduce the
+    // bucketing exactly; recall vs the brute baseline is ALSO asserted
+    // in OpsSuite.
     "q31_ann_lsh_bucketed" -> ((s, dir) => {
       import graft.functions.VectorFunctions.cosine_sim
       val L = 6; val k = 4
       val e0 = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble("embedding").as("v"))
         .repartition(s.sparkContext.defaultParallelism)
+      val dim = e0.select(size(col("v"))).head.getInt(0)
       val e = (0 until L).foldLeft(e0) { (df, tbl) =>
-        df.withColumn(s"b$tbl", signBucketExpr("v", k, planeOffset = tbl * k))
+        df.withColumn(s"b$tbl", signBucketExpr("v", dim, k, planeOffset = tbl * k))
       }
       val probes = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id") +: col("v").as("qv") +:
@@ -125,6 +138,44 @@ object SimilarityOps {
     }))
 
   def oracles: Map[String, String] = Map(
+    // reproduces the md5-derived sign-plane bucketing bit-for-bit:
+    // weight(p,i) = +1 iff first hex digit of md5(p_'_'_i) is odd;
+    // bucket(tbl) = Σ 2^(p%4) over planes with dot(v, w_p) > 0;
+    // candidates = bucket equality in ANY of the 6 tables
+    "q31_ann_lsh_bucketed" ->
+      """WITH dims AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+         w AS (
+           SELECT p,
+             list_transform(range(0, (SELECT d FROM dims)), i ->
+               CASE WHEN (strpos('0123456789abcdef',
+                          substr(md5(p::VARCHAR || '_' || i::VARCHAR), 1, 1)) - 1) % 2 = 1
+                    THEN 1.0 ELSE -1.0 END) AS wv
+           FROM range(0, 24) t(p)),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         bits AS (
+           SELECT e.vec_id, CAST(w.p // 4 AS INT) AS tbl,
+             CASE WHEN list_dot_product(e.v, w.wv) > 0
+                  THEN CAST(1 << CAST(w.p % 4 AS INT) AS BIGINT) ELSE 0 END AS bit
+           FROM e CROSS JOIN w),
+         buckets AS (
+           SELECT vec_id, tbl, CAST(sum(bit) AS BIGINT) AS b
+           FROM bits GROUP BY vec_id, tbl),
+         cand AS (
+           SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+           FROM buckets p JOIN buckets c ON p.tbl = c.tbl AND p.b = c.b
+           WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id),
+         scored AS (
+           SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(pe.v, ne.v) /
+               (sqrt(list_dot_product(pe.v, pe.v)) * sqrt(list_dot_product(ne.v, ne.v))) AS cos
+           FROM cand JOIN e pe ON pe.vec_id = cand.query_id
+                     JOIN e ne ON ne.vec_id = cand.neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+         ORDER BY query_id, rank""",
     "q36_embed_normalize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          n AS (SELECT vec_id,
