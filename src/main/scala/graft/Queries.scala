@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
 /** Registry of operator-level queries (SURVEY.md §2 inventory + the
   * training-data ops) and their DuckDB oracle SQL. Query families live in
   * `graft.ops.*`; the KG-pipeline family runs over the synthesized corpus
-  * (rows-only checks — its correctness gate is the ScalaTest P/R harness).
+  * and is checked against the INDEPENDENT expected-set oracle
+  * ([[graft.kg.oracle.KgOracle]]) in addition to the ScalaTest P/R
+  * harness.
   */
 object Queries {
 
@@ -68,5 +70,5 @@ object Queries {
   def oracles: Map[String, String] =
     ops.Relational.oracles ++ ops.TextOps.oracles ++ ops.DedupOps.oracles ++
       ops.SimilarityOps.oracles ++ ops.Multimodal.oracles ++
-      ops.StreamingOps.oracles
+      ops.StreamingOps.oracles ++ kg.oracle.KgOracle.oracles
 }

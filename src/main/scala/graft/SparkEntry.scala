@@ -28,12 +28,16 @@ object SparkEntry {
     * the driver's `documents` table carries no sentence/SVO structure, so
     * it feeds the dedup/text-analysis operators instead). Size scales
     * with the sf dir so Bench exercises real load. */
+  /** Corpus size per sf dir — shared with the independent KG oracle so
+    * both sides generate the identical deterministic corpus. */
+  def corpusShape(sfDir: String): (Int, Int) =
+    if (sfDir.contains("sf0.1")) (60, 30)
+    else if (sfDir.contains("sf0.01")) (20, 12)
+    else (8, 6)
+
   def syntheticCorpus(spark: SparkSession, sfDir: String): org.apache.spark.sql.Dataset[CorpusRow] = {
     import spark.implicits._
-    val (repos, files) =
-      if (sfDir.contains("sf0.1")) (60, 30)
-      else if (sfDir.contains("sf0.01")) (20, 12)
-      else (8, 6)
+    val (repos, files) = corpusShape(sfDir)
     spark.createDataset(kg.fixtures.CorpusGen.generate(repos, files, seed = 42L).rows)
       .repartition(spark.sparkContext.defaultParallelism)
   }

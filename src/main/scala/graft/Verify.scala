@@ -22,6 +22,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // independent expected tables for the kg_* family (KgOracle doc):
+    // the kg_* oracle SQL reads these back via read_parquet('{OUT}/...')
+    try graft.kg.oracle.KgOracle.writeExpected(spark, sfDir, outDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] kg expected-set dump failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -34,8 +40,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // kg_* oracles reference the expected-set parquet written above via a
+    // {OUT} placeholder — substitute the real absolute outDir at dump time
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -42,18 +42,8 @@ final class RuleSVOExtractor extends TripletExtractor {
 
   /** Predicate phrase lexicon; token sequences, lowercased. Order within
     * the scan is by position then phrase length (longest wins). */
-  private val phrases: Vector[Vector[String]] = Vector(
-    "is defined in file", "is defined in", "is declared in",
-    "imports module", "imports package", "imports",
-    "calls function", "calls method", "calls",
-    "extends class", "extends", "inherits from",
-    "implements interface", "implements",
-    "depends on", "depends upon",
-    "returns", "instantiates", "overrides", "invokes", "exports",
-    "belongs to", "refers to", "is part of", "is based on",
-    "is a", "is an", "was a", "was an", "has", "uses", "contains",
-    "created", "wrote", "directed", "produced", "is", "was", "are", "were"
-  ).map(_.split(' ').toVector).sortBy(-_.length)
+  private val phrases: Vector[Vector[String]] =
+    RuleSVOExtractor.lexicon.map(_.split(' ').toVector).sortBy(-_.length)
 
   private val maxPhraseLen = phrases.map(_.length).max
 
@@ -101,4 +91,22 @@ final class RuleSVOExtractor extends TripletExtractor {
       case None => "<pad></s>"
     }
   }
+}
+
+/** Spec DATA shared with the independent oracle (graft.kg.oracle): the
+  * lexicon is a pinned constant, not logic — sharing it means a typo
+  * cannot silently diverge the two implementations, while the SCAN logic
+  * remains independently implemented on both sides. */
+object RuleSVOExtractor {
+  val lexicon: Vector[String] = Vector(
+    "is defined in file", "is defined in", "is declared in",
+    "imports module", "imports package", "imports",
+    "calls function", "calls method", "calls",
+    "extends class", "extends", "inherits from",
+    "implements interface", "implements",
+    "depends on", "depends upon",
+    "returns", "instantiates", "overrides", "invokes", "exports",
+    "belongs to", "refers to", "is part of", "is based on",
+    "is a", "is an", "was a", "was an", "has", "uses", "contains",
+    "created", "wrote", "directed", "produced", "is", "was", "are", "were")
 }

@@ -2,7 +2,6 @@ package graft.kg.stages
 
 import graft.kg._
 import graft.kg.embed.Embedder
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -18,9 +17,12 @@ import org.apache.spark.sql.functions._
   *    match is the identity on the mention set, so it adds no alias pairs;
   *    it exists to make the stock linking semantics explicit.
   *
-  *  - `lshAliases` — J1 as a scale-path replacement for per-row ANN: the
-  *    distinct mention strings are MinHash-LSH blocked on char-3-gram
-  *    sets (`approxSimilarityJoin`), then candidate pairs are re-scored
+  *  - `lshAliases` — J1 as a scale-path replacement for per-row ANN:
+  *    the distinct mention strings are MinHash-banded on char-3-gram
+  *    shingle sets (md5-derived band minhashes — a DETERMINISTIC,
+  *    engine-portable function, so the independent oracle reproduces the
+  *    blocking exactly), candidates = pairs sharing any band value,
+  *    filtered at exact shingle-Jaccard distance ≤ cap, then re-scored
   *    with EXACT cosine over the hash embeddings and kept at
   *    `cosine ≥ threshold`, capped at top-`linkTopK` per probe
   *    (`row_number` window — reference's top-10, `triplets.py:257`).
@@ -75,14 +77,20 @@ object Link {
          ELSE array_distinct(transform(sequence(0, length(s0) - 3),
                                        i -> substring(s0, i + 1, 3))) END""")
 
-  /** J1: MinHash-LSH blocking + exact-cosine re-score ≥ threshold,
-    * top-`linkTopK` per probe. Returns symmetric alias pairs (a ≠ b). */
+  /** J1: deterministic MinHash banding + exact Jaccard filter +
+    * exact-cosine re-score ≥ threshold, top-`linkTopK` per probe.
+    * Returns symmetric alias pairs (a ≠ b).
+    *
+    * Band minhash b = min over shingles g of md5("b|" + g) — a pure
+    * function of the name (no fitted model, no RNG), so the blocking is
+    * reproducible by the DuckDB/straight-line oracle, and the whole stage
+    * is native Catalyst expressions (no UDFs anywhere in the plan). */
   def lshAliases(
       mentionVecs: DataFrame, // (name, vec: Array[Float])
       threshold: Double,
       linkTopK: Int,
       jaccardDistanceCap: Double = 0.7,
-      numHashTables: Int = 5): Dataset[AliasPair] = {
+      numBands: Int = 8): Dataset[AliasPair] = {
     val spark = mentionVecs.sparkSession
     import spark.implicits._
 
@@ -90,27 +98,34 @@ object Link {
       .withColumn("s0", concat(lit("\u0001"), lower($"name"), lit("\u0002")))
       .withColumn("sh", shinglesExpr)
       .drop("s0")
-    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val feats = tf.transform(withShingles)
-      // MinHashLSH requires ≥1 non-zero entry; shingles are never empty
-      .select($"name", $"vec", $"features")
 
-    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(numHashTables).setSeed(42L)
-    val model = lsh.fit(feats)
-    val pairs = model
-      .approxSimilarityJoin(feats, feats, jaccardDistanceCap, "jaccardDist")
+    // band signatures: one row per (name, band) with the band minhash —
+    // candidates come from signature equality (blocked equi-join on the
+    // band key), NEVER from an all-pairs scan; scale-safe at 100 TB
+    val sigs = withShingles
+      .select($"name", $"vec", $"sh",
+        explode(sequence(lit(0), lit(numBands - 1))).as("band"))
+      .withColumn("mh",
+        expr("array_min(transform(sh, g -> md5(concat(cast(band AS string), '|', g))))"))
+
+    val pairs = sigs.as("x").join(sigs.as("y"),
+        col("x.band") === col("y.band") && col("x.mh") === col("y.mh") &&
+          col("x.name") < col("y.name"))
       .select(
-        col("datasetA.name").as("a"), col("datasetA.vec").as("va"),
-        col("datasetB.name").as("b"), col("datasetB.vec").as("vb"))
-      .filter($"a" < $"b") // dedupe symmetric pairs + drop self-pairs
+        col("x.name").as("a"), col("x.vec").as("va"), col("x.sh").as("sha"),
+        col("y.name").as("b"), col("y.vec").as("vb"), col("y.sh").as("shb"))
+      .dropDuplicates("a", "b")
 
-    // EXACT re-score with the native codegen'd dot_product expression
-    // (vectors are unit-L2, so dot == cosine): the hottest loop of the
-    // linking stage stays columnar instead of deserializing two 768-float
-    // arrays per candidate pair through a UDF
+    // EXACT shingle-Jaccard distance filter (the MinHashLSH cap semantics,
+    // computed exactly on the distinct shingle arrays), then EXACT cosine
+    // re-score with the native codegen'd dot_product (unit vectors →
+    // dot == cosine); both stay inside WholeStageCodegen
     val scored = pairs
+      .withColumn("inter", size(array_intersect($"sha", $"shb")).cast("double"))
+      .withColumn("jd",
+        lit(1.0) - $"inter" /
+          (size($"sha").cast("double") + size($"shb").cast("double") - $"inter"))
+      .filter($"jd" <= jaccardDistanceCap)
       .withColumn("score", graft.functions.VectorFunctions.dot_product($"va", $"vb"))
       .filter($"score" >= threshold)
       .select($"a", $"b", $"score")

@@ -81,9 +81,12 @@ object Materialize {
             struct($"docId", $"chunkId", $"sentIdx").as("lineage")))).as("m"))
       .select($"m.name", $"m.role", $"m.lineage")
 
+    // tie-break: a self-referential triple (subj == obj) yields two
+    // occurrences with IDENTICAL lineage — fold the role into the max_by
+    // ordering so the winner is deterministic ("subject" > "object")
     val parts = occurrences
       .groupBy($"name")
-      .agg(max_by($"role", $"lineage").as("tripletPart"))
+      .agg(max_by($"role", struct($"lineage", $"role")).as("tripletPart"))
 
     parts
       .join(mentionVecs, Seq("name"), "left")
