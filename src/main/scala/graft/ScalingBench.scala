@@ -14,12 +14,18 @@ import org.apache.spark.sql.SparkSession
   * in SEPARATE JVMs, since sharing one JVM contaminates the second run
   * with the first run's heap/GC state — and writes BENCH/BASELINE.md.
   *
-  * Usage: runMain graft.ScalingBench <cores> [repos] [filesPerRepo]
+  * Usage: runMain graft.ScalingBench <cores> [repos] [filesPerRepo] [exact|lsh]
+  *
+  * `lsh` mode runs the full linking/canonicalization path (MinHash-banded
+  * aliases → CC → salted canonical-edge join) — the hub-entity skew
+  * machinery in the measured loop; `exact` (default) is the stock
+  * reference semantics.
   */
 object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     val nums = args.filter(_.forall(_.isDigit)).map(_.toInt)
+    val mode = args.find(a => a == "lsh" || a == "exact").getOrElse("exact")
     val cores = nums.headOption.getOrElse(8)
     // corpus large enough that compute dominates fixed job overhead —
     // scaling efficiency is meaningless on a 3-second job
@@ -49,7 +55,12 @@ object ScalingBench {
     // measured on executions of the once-built plan (exactly how the job
     // runs in production: one plan, hours of execution). The sandbox also
     // shows heavy CPU-steal variance → median of 5 iterations.
-    val planned = new Pipeline(GraftConfig(linkMode = "exact")).run(corpus).edges
+    val cfg =
+      if (mode == "lsh")
+        GraftConfig(linkMode = "lsh", linkThreshold = 0.85, saltedCanonicalJoin = true)
+      else GraftConfig(linkMode = "exact")
+    val result = new Pipeline(cfg).run(corpus)
+    val planned = if (mode == "lsh") result.canonicalEdges else result.edges
     val edges = planned.count() // plan + first execution (JIT warm-up)
     def timedRun(): Double = {
       val t0 = System.nanoTime()
@@ -59,7 +70,7 @@ object ScalingBench {
     val secs = (1 to 5).map(_ => timedRun()).sorted
     val sec = secs(secs.length / 2)
     println(
-      s"""{"metric":"kg_throughput","cores":$cores,"docs":$nDocs,""" +
+      s"""{"metric":"kg_throughput","mode":"$mode","cores":$cores,"docs":$nDocs,""" +
         s""""edges":$edges,"sec":${f"$sec%.2f"},""" +
         s""""all_secs":[${secs.map(x => f"$x%.2f").mkString(",")}],""" +
         s""""files_per_sec":${f"${nDocs / sec}%.1f"}}""")

@@ -104,4 +104,9 @@ final case class GraftConfig(
     /** Range-split the corpus on (repo, path) at ingest — mega-repo skew
       * defense (SURVEY.md §4.4). Off by default: callers that already
       * control input partitioning (benches) skip the extra shuffle. */
-    rangePartitionOnIngest: Boolean = false)
+    rangePartitionOnIngest: Boolean = false,
+    /** Use the salted shuffle join (hub-entity skew defense) instead of
+      * broadcasting the canonical map when rewriting edges — for the
+      * regime where distinct mentions outgrow broadcast; see
+      * [[graft.kg.stages.Materialize.canonicalEdges]]. */
+    saltedCanonicalJoin: Boolean = false)

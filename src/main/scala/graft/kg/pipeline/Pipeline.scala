@@ -117,7 +117,8 @@ final class Pipeline(
 
     val canonical = Canonicalize.canonicalMap(mentions, aliases)
     val edges = Materialize.edges(triples)
-    val canonEdges = Materialize.canonicalEdges(edges, canonical)
+    val canonEdges =
+      Materialize.canonicalEdges(edges, canonical, salted = config.saltedCanonicalJoin)
     val vertices = Materialize.vertices(triples, mentionVecs, canonical)
 
     Result(docs, chunks, embeddings, terms, triples, mentionVecs, aliases,

@@ -43,6 +43,37 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
       .limit(topK)
   }
 
+  /** A1 variant: DF-weighted term relevance. The reference ranks term
+    * search with Lucene fulltext scores (`retrieval.py:204-218`); raw TF
+    * ([[termSearch]]) is the documented spec substitution — this option
+    * adds the IDF weight a Lucene-like ranking carries:
+    * score(chunk) = Σ_t tf(t, chunk) · ln(N / df(t)), N = chunk count,
+    * df = chunks containing t. All partial-aggregable + two broadcast
+    * scalars — no extra shuffles beyond [[termSearch]]'s. */
+  def termSearchIdf(terms: DataFrame, chunks: Dataset[Chunk], query: String,
+      topK: Int = config.topK): DataFrame = {
+    val spark = terms.sparkSession
+    import spark.implicits._
+    val qTerms = Tokens.normalize(query).filterNot(Stopwords.english.contains).distinct
+    if (qTerms.isEmpty)
+      return chunks.toDF().select($"chunkId", lit(0.0).as("score"), $"text").limit(0)
+    val tfCol =
+      if (terms.columns.contains("tf")) sum($"tf").cast("double")
+      else count(lit(1)).cast("double")
+    val hits = terms.filter($"termType" === "unigram" && $"text".isin(qTerms: _*))
+    val tf = hits.groupBy($"chunkId", $"text").agg(tfCol.as("tf"))
+    val dfreq = tf.groupBy($"text")
+      .agg(count(lit(1)).cast("double").as("df")) // tf rows are distinct (chunk, term)
+    val n = chunks.toDF().agg(count(lit(1)).cast("double").as("n_chunks"))
+    tf.join(broadcast(dfreq), Seq("text"))
+      .crossJoin(broadcast(n))
+      .select($"chunkId", ($"tf" * log($"n_chunks" / $"df")).as("w"))
+      .groupBy($"chunkId").agg(sum($"w").as("score"))
+      .join(chunks.toDF().select($"chunkId", $"text"), Seq("chunkId"))
+      .orderBy($"score".desc, $"chunkId")
+      .limit(topK)
+  }
+
   /** O1 vector search: embed the query ("query: " prefix,
     * `retrieval.py:93`), brute-force cosine over chunk embeddings,
     * TakeOrderedAndProject top-k (`retrieval.py:107-161`). The query

@@ -40,23 +40,49 @@ object Materialize {
   }
 
   /** Canonicalized edge set: subj/pred/obj mapped through the canonical
-    * mapping (three broadcast-able joins on the small distinct-mention
-    * side), then re-deduped on the canonical key. */
+    * mapping, then re-deduped on the canonical key.
+    *
+    * Join strategy: `salted = false` (default) broadcasts the mapping —
+    * right when distinct mentions ≪ edges. At 10^12-file scale the
+    * mention vocabulary can outgrow broadcast AND hub entities ("main",
+    * "utils") make the edge side skewed on the join key — `salted = true`
+    * switches to [[graft.ops.Skew.saltedEquiJoin]]: the edge side gets a
+    * per-row salt, the mapping is replicated ×salt, and each hub key
+    * spreads over `salt` reducers instead of one straggler task. Requires
+    * the COMPLETE canonical map (identity rows included — what
+    * [[graft.kg.stages.Canonicalize.canonicalMap]] produces). */
   def canonicalEdges(
       edges: Dataset[RelatesToEdge],
-      canon: Dataset[CanonicalMapping]): Dataset[RelatesToEdge] = {
+      canon: Dataset[CanonicalMapping],
+      salted: Boolean = false,
+      salt: Int = 8): Dataset[RelatesToEdge] = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val c = broadcast(canon.toDF()) // distinct mentions ≪ edges at scale
-    def mapped(colName: String) =
-      coalesce(col("c_" + colName + ".canonicalName"), col(colName))
-    edges.toDF()
-      .join(c.select($"name".as("subj"), struct($"canonicalName").as("c_subj")), Seq("subj"), "left")
-      .join(c.select($"name".as("pred"), struct($"canonicalName").as("c_pred")), Seq("pred"), "left")
-      .join(c.select($"name".as("obj"), struct($"canonicalName").as("c_obj")), Seq("obj"), "left")
-      .select(
-        mapped("subj").as("subj"), mapped("pred").as("pred"),
-        mapped("obj").as("obj"), $"label", $"sourceChunkId")
+    val remapped: DataFrame =
+      if (!salted) {
+        val c = broadcast(canon.toDF()) // distinct mentions ≪ edges at scale
+        def mapped(colName: String) =
+          coalesce(col("c_" + colName + ".canonicalName"), col(colName))
+        edges.toDF()
+          .join(c.select($"name".as("subj"), struct($"canonicalName").as("c_subj")), Seq("subj"), "left")
+          .join(c.select($"name".as("pred"), struct($"canonicalName").as("c_pred")), Seq("pred"), "left")
+          .join(c.select($"name".as("obj"), struct($"canonicalName").as("c_obj")), Seq("obj"), "left")
+          .select(
+            mapped("subj").as("subj"), mapped("pred").as("pred"),
+            mapped("obj").as("obj"), $"label", $"sourceChunkId")
+      } else {
+        val c = canon.toDF()
+        def remap(df: DataFrame, colName: String): DataFrame =
+          graft.ops.Skew.saltedEquiJoin(
+            df.withColumnRenamed(colName, "__k"),
+            c.select($"name".as("__k"), $"canonicalName".as("__c")),
+            "__k", salt)
+            .withColumn(colName, col("__c"))
+            .drop("__k", "__c")
+        Seq("subj", "pred", "obj").foldLeft(edges.toDF())(remap)
+          .select($"subj", $"pred", $"obj", $"label", $"sourceChunkId")
+      }
+    remapped
       .groupBy($"subj", $"pred", $"obj")
       .agg(min($"sourceChunkId").as("sourceChunkId"), first($"label").as("label"))
       .select($"subj", $"pred", $"obj", $"label", $"sourceChunkId")

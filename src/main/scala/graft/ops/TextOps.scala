@@ -112,6 +112,31 @@ object TextOps {
         .limit(10)
     }),
 
+    // A1 variant: DF-weighted (BM25-shaped) term relevance — the
+    // reference ranks term search with Lucene fulltext scores
+    // (retrieval.py:204-218); raw TF (q20) is the documented spec
+    // substitution, this adds the IDF weight a Lucene-like ranking
+    // carries: score = Σ_t tf(t,d) · ln(N / df(t)).
+    "q38_term_relevance_idf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok").isin(queryTerms: _*))
+      val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val dfreq = toks.groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      tf.join(broadcast(dfreq), Seq("tok"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          (col("tf") * log(col("n_docs") / col("df"))).as("w"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("w")), 6).as("relevance"))
+        .orderBy(col("relevance").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // Token counting: whitespace tokens + BPE-ish subword estimate
     // (sum of ceil(len/4) per token), grouped per lang.
     "q21_token_count" -> ((s, dir) => {
@@ -237,6 +262,19 @@ object TextOps {
         s"""SELECT doc_id, count(*) AS relevance
             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
             WHERE tok IN (${sqlList(queryTerms)})
+            GROUP BY 1 ORDER BY relevance DESC, doc_id LIMIT 10""",
+      "q38_term_relevance_idf" ->
+        s"""WITH q AS (
+              SELECT doc_id, tok
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+              WHERE tok IN (${sqlList(queryTerms)})),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+            dfreq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                      FROM q GROUP BY 1),
+            tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+                   FROM q GROUP BY 1, 2)
+            SELECT tf.doc_id, round(sum(tf.tf * ln(n.n_docs / dfreq.df)), 6) AS relevance
+            FROM tf JOIN dfreq ON dfreq.tok = tf.tok CROSS JOIN n
             GROUP BY 1 ORDER BY relevance DESC, doc_id LIMIT 10""",
       "q21_token_count" ->
         """SELECT lang,

@@ -34,6 +34,33 @@ class IncrementalSkewSuite extends AnyFunSuite {
     assert(parts >= 2, s"mega-repo landed on $parts partition(s)")
   }
 
+  test("salted canonical-edge join equals broadcast on a hub-heavy graph") {
+    val s = spark; import s.implicits._
+    // deliberate hub skew: ~30% of triples share one object ("utils")
+    val triples = spark.createDataset((1 to 300).map { i =>
+      val obj = if (i % 3 == 0) "Utils" else s"Obj$i"
+      Triple("d", s"d_chunk${i % 7}", i % 5, s"Subj${i % 40}", "uses", obj)
+    })
+    val edges = stages.Materialize.edges(triples)
+    val mentions = stages.Link.mentions(triples)
+    val aliases = spark.createDataset(Seq(
+      AliasPair("utils", "util lib", 0.9), AliasPair("obj3", "obj6", 0.9)))
+    val canon = stages.Canonicalize.canonicalMap(mentions, aliases)
+    val viaBroadcast = stages.Materialize.canonicalEdges(edges, canon)
+      .collect().map(e => (e.subj, e.pred, e.obj, e.sourceChunkId)).toSet
+    val viaSalted = stages.Materialize.canonicalEdges(edges, canon, salted = true)
+      .collect().map(e => (e.subj, e.pred, e.obj, e.sourceChunkId)).toSet
+    assert(viaSalted == viaBroadcast)
+    assert(viaSalted.nonEmpty)
+    // and the full lsh pipeline accepts the salted-join config end to end
+    val gen = CorpusGen.generate(repos = 3, filesPerRepo = 4, seed = 5L)
+    val r = new Pipeline(GraftConfig(linkMode = "lsh", linkThreshold = 0.85,
+      saltedCanonicalJoin = true)).run(spark.createDataset(gen.rows))
+    val rBroadcast = new Pipeline(GraftConfig(linkMode = "lsh", linkThreshold = 0.85))
+      .run(spark.createDataset(gen.rows))
+    assert(r.canonicalEdges.collect().toSet == rBroadcast.canonicalEdges.collect().toSet)
+  }
+
   test("incremental LSH ingest links new mentions to existing entities") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftinc").toString

@@ -37,6 +37,28 @@ class RetrievalSuite extends AnyFunSuite {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("IDF-weighted term search ranks rare terms above common ones") {
+    val s = spark; import s.implicits._
+    // c1 has the ubiquitous term twice; c2 has the rare term once —
+    // TF ranks c1 first, IDF must rank c2 first
+    val chunks = spark.createDataset(Seq(
+      Chunk("d", "d_chunk0", 0, "common common", 2),
+      Chunk("d", "d_chunk1", 1, "rareword common", 2),
+      Chunk("d", "d_chunk2", 2, "common filler", 2),
+      Chunk("d", "d_chunk3", 3, "common filler", 2)))
+    val terms = Seq(
+      ("d_chunk0", "common", "unigram"), ("d_chunk0", "common", "unigram"),
+      ("d_chunk1", "rareword", "unigram"), ("d_chunk1", "common", "unigram"),
+      ("d_chunk2", "common", "unigram"), ("d_chunk3", "common", "unigram"))
+      .toDF("chunkId", "text", "termType")
+    val tfTop = retrieval.termSearch(terms, chunks, "rareword common").collect()
+    val idfTop = retrieval.termSearchIdf(terms, chunks, "rareword common").collect()
+    assert(tfTop.head.getAs[String]("chunkId") == "d_chunk0", "TF favors frequency")
+    assert(idfTop.head.getAs[String]("chunkId") == "d_chunk1", "IDF favors rarity")
+    // IDF scores: c1 = 1*ln(4/4) + 1*ln(4/1) = ln 4; c0 = 2*ln(4/4) = 0
+    assert(math.abs(idfTop.head.getAs[Double]("score") - math.log(4.0)) < 1e-9)
+  }
+
   test("vector search: a chunk's own text embeds closest to itself") {
     val s = spark; import s.implicits._
     val someChunk = result.chunks.head()
