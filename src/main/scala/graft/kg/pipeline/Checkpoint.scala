@@ -59,18 +59,36 @@ final class Checkpoint(spark: SparkSession, root: String, enabled: Boolean) {
         df.write.mode(SaveMode.Overwrite).parquet(dataPath(stageName))
         val out = spark.read.parquet(dataPath(stageName))
         // per-partition lineage: rows per written file (file = partition
-        // of the stage output), one aggregation pass
+        // of the stage output), one aggregation pass. The per-file list
+        // is CAPPED: a 10^12-file-scale stage can emit millions of output
+        // files, and collecting one row per file to the driver (and
+        // inlining it in the manifest) would not survive that — beyond
+        // the cap only the file count and total are recorded.
         import org.apache.spark.sql.functions.{count, input_file_name, lit}
-        val partRows = out
+        import org.apache.spark.sql.functions.sum
+        val agg = out
           .groupBy(input_file_name().as("file"))
           .agg(count(lit(1)).as("rows"))
-          .collect()
-          .map(r => (new Path(r.getString(0)).getName, r.getLong(1)))
-          .sortBy(_._1)
+        val stats = agg.agg(count(lit(1)), sum("rows")).head
+        val nFiles = stats.getLong(0)
+        val totalRows = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+        val partRows =
+          if (nFiles <= Checkpoint.MaxManifestFiles)
+            agg.collect()
+              .map(r => (new Path(r.getString(0)).getName, r.getLong(1)))
+              .sortBy(_._1).toSeq
+          else Seq(s"__${nFiles}_files_elided__" -> -1L)
         writeManifest(stageName,
-          manifestJson(specVersion, inputFingerprint,
-            partRows.map(_._2).sum, partRows.toSeq))
+          manifestJson(specVersion, inputFingerprint, totalRows, partRows))
         out
     }
   }
+}
+
+object Checkpoint {
+  /** Manifest per-file-lineage cap: above this the manifest records the
+    * file count + total rows only (a 10^12-file-scale stage can emit
+    * millions of output files — the per-file list must not be
+    * driver-collected or inlined at that size). */
+  val MaxManifestFiles: Int = 4096
 }
