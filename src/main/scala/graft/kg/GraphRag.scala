@@ -46,21 +46,30 @@ final class GraphRag(
 
   /** `graphrag query` (reference defaults: hybrid retrieval +
     * include_triplets=true, with_context=false — `cli/main.py:176-191`,
-    * `config.py:133`). */
+    * `config.py:133`).
+    *
+    * @param idfWeighting term-side ranking: false = raw TF (the
+    *   documented spec substitution for the reference's Lucene score);
+    *   true = tf · ln(N/df) ([[Retrieval.termSearchIdf]]), the
+    *   DF-weighted shape a Lucene-like fulltext ranking carries. */
   def query(
       q: String,
       topK: Int = config.topK,
       withContext: Boolean = false,
-      includeTriplets: Boolean = true): QueryResult = {
+      includeTriplets: Boolean = true,
+      idfWeighting: Boolean = false): QueryResult = {
     val terms = io.read(spark, "terms")
+    def termHits =
+      if (idfWeighting) retrieval.termSearchIdf(terms, chunksDs, q, topK)
+      else retrieval.termSearch(terms, chunksDs, q, topK)
     val hits =
       if (withContext) {
         // §3.3: graph-only retrieval + ±contextSize range-join expansion
-        val graphHits = retrieval.termSearch(terms, chunksDs, q, topK)
-          .select(col("chunkId"), col("score"))
+        val graphHits = termHits.select(col("chunkId"), col("score"))
         retrieval.withContext(graphHits, chunksDs, config.contextSize)
       } else {
-        retrieval.hybridSearch(terms, chunksDs, embeddingsDs, q, topK)
+        retrieval.hybridSearch(terms, chunksDs, embeddingsDs, q, topK,
+          termHits = Some(termHits))
       }
     val triplets =
       if (includeTriplets)

@@ -110,14 +110,17 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
   }
 
   /** A4 weighted hybrid merge (`retrieval.py:574-605`): full-outer on
-    * chunkId, missing side 0.0, w*vec + (1-w)*graph, top-k. */
+    * chunkId, missing side 0.0, w*vec + (1-w)*graph, top-k.
+    * `termHits` overrides the graph side (e.g. the IDF-weighted ranking
+    * from [[termSearchIdf]]); default = TF [[termSearch]]. */
   def hybridSearch(terms: DataFrame, chunks: Dataset[Chunk],
       embeddings: Dataset[ChunkEmbedding], query: String,
-      topK: Int = config.topK, vectorWeight: Double = config.vectorWeight): DataFrame = {
+      topK: Int = config.topK, vectorWeight: Double = config.vectorWeight,
+      termHits: Option[DataFrame] = None): DataFrame = {
     val v = minMaxNormalize(
       vectorSearch(embeddings, chunks, query, topK)).as("v")
     val g = minMaxNormalize(
-      termSearch(terms, chunks, query, topK)).as("g")
+      termHits.getOrElse(termSearch(terms, chunks, query, topK))).as("g")
     v.select(col("chunkId"), col("score").as("vscore"), col("text").as("vtext"))
       .join(g.select(col("chunkId"), col("score").as("gscore"), col("text").as("gtext")),
         Seq("chunkId"), "full_outer")

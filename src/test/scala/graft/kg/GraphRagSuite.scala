@@ -45,6 +45,21 @@ class GraphRagSuite extends AnyFunSuite {
     assert(res.triplets.isEmpty)
   }
 
+  test("query with idfWeighting ranks via tf·ln(N/df) over the stored tables") {
+    val subj = gen.truth.map(_._1).find(!_.contains(' ')).get
+    val q = s"Tell me about ${subj.capitalize}"
+    val idf = engine.query(q, idfWeighting = true, includeTriplets = false)
+      .chunks.collect()
+    assert(idf.nonEmpty, "idf-weighted hybrid query returned no chunks")
+    assert(idf.forall { r =>
+      val sc = r.getAs[Double]("score"); sc >= 0.0 && sc <= 1.0
+    })
+    // the context path also accepts the weighting flag
+    val ctx = engine.query(subj, withContext = true, includeTriplets = false,
+      idfWeighting = true).chunks.collect()
+    assert(ctx.nonEmpty)
+  }
+
   test("re-ingest is idempotent; stats stable; reset truncates") {
     val before = engine.stats()
     engine.ingest(corpus)
