@@ -95,7 +95,12 @@ object Canonicalize {
       .as[CanonicalMapping]
   }
 
-  /** Full canonical map over a mention set: identity for unlinked names. */
+  /** Full canonical map over a mention set: identity for unlinked names.
+    * The CC output holds only the LINKED names (a small subset of the
+    * mention vocabulary — alias clusters are rare relative to distinct
+    * mentions), so it is broadcast: the plan is a single-pass
+    * BroadcastHashJoin over the mention set instead of a sort-merge join
+    * with two shuffles (seen in the kg_canonical_lsh plan audit). */
   def canonicalMap(
       mentionNames: DataFrame, // (name)
       aliases: Dataset[AliasPair]): Dataset[CanonicalMapping] = {
@@ -103,7 +108,7 @@ object Canonicalize {
     import spark.implicits._
     val cc = connectedComponents(aliases)
     mentionNames.select(col("name")).distinct()
-      .join(cc, Seq("name"), "left")
+      .join(broadcast(cc.toDF()), Seq("name"), "left")
       .select(col("name"), coalesce(col("canonicalName"), col("name")).as("canonicalName"))
       .as[CanonicalMapping]
   }
