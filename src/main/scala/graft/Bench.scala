@@ -82,11 +82,19 @@ object Bench {
         s""""sf":"$sfDir","kg_docs":$nDocs,"kg_edges":$kgEdges,""" +
         s""""kg_files_per_sec":${f"$filesPerSec%.1f"},"failed":$failedJson}"""
     // stdout (unprefixed via build.sbt outputStrategy) AND a file copy,
-    // so the harness can parse the result either way
+    // so the harness can parse the result either way. A failed write must
+    // be LOUD — a silently stale result.json would publish a previous
+    // round's numbers as this round's.
     println(json)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH/result.json"), json)
-    catch { case _: Throwable => () }
+    try {
+      val dir = java.nio.file.Paths.get("BENCH")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("result.json"), json)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARNING: BENCH/result.json not written " +
+        s"(cwd=${System.getProperty("user.dir")}): ${e.getMessage} — " +
+        "treat any existing result.json as STALE; the stdout JSON line is authoritative")
+    }
     spark.stop()
   }
 }

@@ -69,15 +69,20 @@ final class Checkpoint(spark: SparkSession, root: String, enabled: Boolean) {
         val agg = out
           .groupBy(input_file_name().as("file"))
           .agg(count(lit(1)).as("rows"))
-        val stats = agg.agg(count(lit(1)), sum("rows")).head
-        val nFiles = stats.getLong(0)
-        val totalRows = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-        val partRows =
-          if (nFiles <= Checkpoint.MaxManifestFiles)
-            agg.collect()
+        // single pass in the common (under-cap) case: fetch cap+1 rows;
+        // only when the stage emitted MORE files than the cap does a
+        // second pass aggregate the totals
+        val head = agg.limit(Checkpoint.MaxManifestFiles + 1).collect()
+        val (totalRows, partRows) =
+          if (head.length <= Checkpoint.MaxManifestFiles) {
+            val rows = head
               .map(r => (new Path(r.getString(0)).getName, r.getLong(1)))
               .sortBy(_._1).toSeq
-          else Seq(s"__${nFiles}_files_elided__" -> -1L)
+            (rows.map(_._2).sum, rows)
+          } else {
+            val stats = agg.agg(count(lit(1)), sum("rows")).head
+            (stats.getLong(1), Seq(s"__${stats.getLong(0)}_files_elided__" -> -1L))
+          }
         writeManifest(stageName,
           manifestJson(specVersion, inputFingerprint, totalRows, partRows))
         out

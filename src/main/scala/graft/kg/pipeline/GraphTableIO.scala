@@ -40,9 +40,14 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
 
   def merge(spark: SparkSession, table: String, delta: DataFrame,
       keys: Seq[String], partitionCols: Seq[String] = Nil): Unit = {
+    // allowMissingColumns = true is the schema-evolution path: a column
+    // added to the delta in a later engine version (e.g. the terms table
+    // gaining `tf`) null-fills the pre-existing rows instead of crashing
+    // ingest into a store created by an older version — matching Iceberg
+    // MERGE INTO behavior after an ADD COLUMN
     val merged =
       if (exists(spark, table))
-        read(spark, table).unionByName(delta, allowMissingColumns = false)
+        read(spark, table).unionByName(delta, allowMissingColumns = true)
           .dropDuplicates(keys)
       else delta.dropDuplicates(keys)
     // write via temp dir then swap: the source may be the table itself

@@ -115,7 +115,10 @@ final class Pipeline(
       case _ => Link.exactAliases(spark) // stock reference behavior
     }
 
-    val canonical = Canonicalize.canonicalMap(mentions, aliases)
+    // when the user signals the mention vocabulary outgrows broadcast
+    // (saltedCanonicalJoin), the CC map joins without a broadcast hint too
+    val canonical = Canonicalize.canonicalMap(mentions, aliases,
+      broadcastCC = !config.saltedCanonicalJoin)
     val edges = Materialize.edges(triples)
     val canonEdges =
       Materialize.canonicalEdges(edges, canonical, salted = config.saltedCanonicalJoin)

@@ -5,6 +5,8 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import scala.collection.mutable
+
 /** Canonicalization of aliased mentions via connected components
   * (SURVEY.md §2.6 J4).
   *
@@ -56,10 +58,20 @@ object Canonicalize {
 
   /** name → canonicalName for every name appearing in `aliases`
     * (non-identity mappings only appear for linked names; [[canonicalMap]]
-    * adds the identity rows). */
+    * adds the identity rows).
+    *
+    * Size-adaptive: an alias graph at or under `localSolveThreshold`
+    * edges is solved by driver-side union-find in ONE collect — the
+    * iterative large-star/small-star loop costs O(iterations)
+    * driver-synchronous job rounds, which is pure fixed overhead when the
+    * graph is small (alias clusters are rare relative to mentions; the
+    * measured lsh pipeline spent ~40 s/run in this serial tail at 1M
+    * docs). Above the threshold — the hub-entity regime the star
+    * algorithm exists for — the distributed loop runs unchanged. */
   def connectedComponents(
       aliases: Dataset[AliasPair],
-      maxIterations: Int = 30): Dataset[CanonicalMapping] = {
+      maxIterations: Int = 30,
+      localSolveThreshold: Long = 1L << 20): Dataset[CanonicalMapping] = {
     val spark = aliases.sparkSession
     import spark.implicits._
 
@@ -67,28 +79,78 @@ object Canonicalize {
     // default; if the session has a reliable checkpoint dir configured
     // (spark.sparkContext.setCheckpointDir), use a storage-backed
     // checkpoint instead — at real cluster scale an executor loss would
-    // otherwise force recomputing the whole iteration chain.
-    def barrier(df: DataFrame): DataFrame =
-      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
+    // otherwise force recomputing the whole iteration chain. Superseded
+    // iterations' checkpoint files are deleted as the loop advances
+    // (Spark only auto-cleans them with referenceTracking.cleanCheckpoints,
+    // which is off by default — without this, every run would leave
+    // O(iterations) full edge-set copies on storage).
+    import org.apache.hadoop.fs.Path
+    val ckptBase = spark.sparkContext.getCheckpointDir.map(new Path(_))
+    val reliable = ckptBase.isDefined
+    def ckptFs = ckptBase.get.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the rdd-N dirs a barrier writes are identified by diffing the
+    // session checkpoint dir around the (eager) checkpoint call — the
+    // Dataset API exposes no handle to the internal checkpointed RDD.
+    // Assumes no concurrent checkpoints in this session (the CC loop is
+    // driver-serial).
+    def children(): Set[String] = ckptBase match {
+      case Some(p) if ckptFs.exists(p) =>
+        ckptFs.listStatus(p).map(_.getPath.getName).toSet
+      case _ => Set.empty
+    }
+    def barrierTracked(df: DataFrame): (DataFrame, Set[String]) =
+      if (!reliable) (df.localCheckpoint(), Set.empty)
+      else {
+        val before = children()
+        val out = df.checkpoint() // eager: files exist on return
+        (out, children() -- before)
+      }
+    def dropCheckpointDirs(dirs: Set[String]): Unit =
+      dirs.foreach(d => ckptFs.delete(new Path(ckptBase.get, d), true))
 
-    var edges = barrier(
-      aliases.select(col("a").as("u"), col("b").as("v"))
-        .where(col("u") =!= col("v"))
-        .distinct())
+    val distinctEdges = aliases.select(col("a").as("u"), col("b").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+
+    // cheap size probe: take threshold+1 rows; under the cap → local solve
+    val head = distinctEdges.limit((localSolveThreshold + 1).toInt).collect()
+    if (head.length <= localSolveThreshold) {
+      val parent = mutable.Map.empty[String, String]
+      def find(x: String): String = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      head.foreach { r =>
+        val (a, b) = (r.getString(0), r.getString(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = head.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct
+      val mapping = nodes.groupBy(find).toSeq.flatMap { case (_, ns) =>
+        val m = ns.min
+        ns.collect { case n if n != m => CanonicalMapping(n, m) }
+      }
+      return spark.createDataset(mapping)
+    }
+
+    var (edges, edgesCkpt) = barrierTracked(distinctEdges)
 
     var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val next = barrier(smallStar(largeStar(edges)))
+      val (next, nextCkpt) = barrierTracked(smallStar(largeStar(edges)))
       // fixpoint: symmetric difference empty — ONE action per iteration
       // (union of both exceptAll sides under a single limit-1 scan)
       converged = next.exceptAll(edges)
         .union(edges.exceptAll(next))
         .isEmpty
+      dropCheckpointDirs(edgesCkpt) // `next` is materialized; prior copy dead
       edges = next
+      edgesCkpt = nextCkpt
       iter += 1
     }
+    // the FINAL iteration's checkpoint stays: `edges` feeds the lazy
+    // canonical-name aggregation below
     // at fixpoint every edge is (node, componentMin)
     edges.select(col("u").as("name"), col("v").as("canonicalName"))
       .groupBy(col("name")).agg(min(col("canonicalName")).as("canonicalName"))
@@ -98,17 +160,22 @@ object Canonicalize {
   /** Full canonical map over a mention set: identity for unlinked names.
     * The CC output holds only the LINKED names (a small subset of the
     * mention vocabulary — alias clusters are rare relative to distinct
-    * mentions), so it is broadcast: the plan is a single-pass
+    * mentions), so by default it is broadcast: the plan is a single-pass
     * BroadcastHashJoin over the mention set instead of a sort-merge join
-    * with two shuffles (seen in the kg_canonical_lsh plan audit). */
+    * with two shuffles (seen in the kg_canonical_lsh plan audit).
+    * `broadcastCC = false` falls back to a planner-chosen shuffle join
+    * for the regime where linked names themselves outgrow broadcast
+    * (same regime as [[Materialize.canonicalEdges]]'s salted join). */
   def canonicalMap(
       mentionNames: DataFrame, // (name)
-      aliases: Dataset[AliasPair]): Dataset[CanonicalMapping] = {
+      aliases: Dataset[AliasPair],
+      broadcastCC: Boolean = true): Dataset[CanonicalMapping] = {
     val spark = mentionNames.sparkSession
     import spark.implicits._
-    val cc = connectedComponents(aliases)
+    val cc = connectedComponents(aliases).toDF()
+    val ccSide = if (broadcastCC) broadcast(cc) else cc
     mentionNames.select(col("name")).distinct()
-      .join(broadcast(cc.toDF()), Seq("name"), "left")
+      .join(ccSide, Seq("name"), "left")
       .select(col("name"), coalesce(col("canonicalName"), col("name")).as("canonicalName"))
       .as[CanonicalMapping]
   }

@@ -79,31 +79,40 @@ object SimilarityOps {
       val e0 = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble("embedding").as("v"))
         .repartition(s.sparkContext.defaultParallelism)
-      val dim = e0.select(size(col("v"))).head.getInt(0)
-      val e = (0 until L).foldLeft(e0) { (df, tbl) =>
-        df.withColumn(s"b$tbl", signBucketExpr("v", dim, k, planeOffset = tbl * k))
+      // plan-time dimension probe; an empty table has no dimension (and
+      // trivially no neighbors) — produce the empty result instead of
+      // crashing on head() (no `return`: this is a lambda)
+      val dimRow = e0.select(size(col("v"))).take(1)
+      if (dimRow.isEmpty)
+        e0.select(col("vec_id").as("query_id"),
+          lit(1).as("rank"), col("vec_id").as("neighbor_id")).limit(0)
+      else {
+        val dim = dimRow(0).getInt(0)
+        val e = (0 until L).foldLeft(e0) { (df, tbl) =>
+          df.withColumn(s"b$tbl", signBucketExpr("v", dim, k, planeOffset = tbl * k))
+        }
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id") +: col("v").as("qv") +:
+            (0 until L).map(tbl => col(s"b$tbl").as(s"qb$tbl")): _*)
+        // candidate set = UNION over tables of bucket equi-joins (each a
+        // broadcast hash join on the bucket key — blocked, never a scan)
+        val candidates = (0 until L).map { tbl =>
+          broadcast(probes.select(col("query_id"), col("qv"), col(s"qb$tbl").as("qb")))
+            .join(e.select(col("vec_id"), col("v"), col(s"b$tbl").as("qb")), Seq("qb"))
+            .filter(col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
+        }.reduce(_ unionByName _)
+          .dropDuplicates("query_id", "vec_id")
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        candidates
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cosine_sim(col("qv"), col("v")).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
       }
-      val probes = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id") +: col("v").as("qv") +:
-          (0 until L).map(tbl => col(s"b$tbl").as(s"qb$tbl")): _*)
-      // candidate set = UNION over tables of bucket equi-joins (each a
-      // broadcast hash join on the bucket key — blocked, never a scan)
-      val candidates = (0 until L).map { tbl =>
-        broadcast(probes.select(col("query_id"), col("qv"), col(s"qb$tbl").as("qb")))
-          .join(e.select(col("vec_id"), col("v"), col(s"b$tbl").as("qb")), Seq("qb"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
-      }.reduce(_ unionByName _)
-        .dropDuplicates("query_id", "vec_id")
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      candidates
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          cosine_sim(col("qv"), col("v")).as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("neighbor_id"))
-        .orderBy(col("query_id"), col("rank"))
     }))
 
   /** Embedding feature ops for a training-data pipeline: L2

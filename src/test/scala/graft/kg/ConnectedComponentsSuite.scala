@@ -33,12 +33,17 @@ class ConnectedComponentsSuite extends AnyFunSuite {
   private def checkGraph(edges: Seq[(String, String)], label: String): Unit = {
     val s = spark; import s.implicits._
     val aliases = spark.createDataset(edges.map { case (a, b) => AliasPair(a, b, 1.0) })
-    val got = Canonicalize.connectedComponents(aliases).collect()
-      .map(c => c.name -> c.canonicalName).toMap
     val expected = bruteForce(edges)
-    // connectedComponents omits identity rows for component minima
-    val gotFull = expected.keys.map(n => n -> got.getOrElse(n, n)).toMap
-    assert(gotFull == expected, s"$label: CC mismatch")
+    // exercise BOTH paths: the driver-side union-find fast path (default
+    // threshold) and the distributed star loop (threshold 0 forces it)
+    for ((threshold, path) <- Seq((1L << 20, "local"), (0L, "distributed"))) {
+      val got = Canonicalize
+        .connectedComponents(aliases, localSolveThreshold = threshold)
+        .collect().map(c => c.name -> c.canonicalName).toMap
+      // connectedComponents omits identity rows for component minima
+      val gotFull = expected.keys.map(n => n -> got.getOrElse(n, n)).toMap
+      assert(gotFull == expected, s"$label ($path path): CC mismatch")
+    }
   }
 
   test("random graphs match brute-force union-find") {
@@ -73,12 +78,25 @@ class ConnectedComponentsSuite extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graftccckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
     try {
+      val s = spark; import s.implicits._
       val edges = (0 until 20).map(i => (f"c$i%03d", f"c${i + 1}%03d"))
-      checkGraph(edges, "chain-with-reliable-checkpoint")
-      // the barrier must actually have written to the reliable dir
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val aliases = spark.createDataset(edges.map { case (a, b) => AliasPair(a, b, 1.0) })
+      // threshold 0 forces the distributed loop (the barrier under test)
+      val got = Canonicalize
+        .connectedComponents(aliases, localSolveThreshold = 0L)
+        .collect().map(c => c.name -> c.canonicalName).toMap
+      val expected = bruteForce(edges)
+      assert(expected.keys.forall(n => got.getOrElse(n, n) == expected(n)))
+      // the barrier must have written to the reliable dir, and superseded
+      // iterations' files must have been cleaned: only the final
+      // iteration's rdd-N dir survives
+      val base = java.nio.file.Paths.get(dir)
+      val wrote = java.nio.file.Files.walk(base)
         .filter(p => java.nio.file.Files.isRegularFile(p)).count()
       assert(wrote > 0, "no reliable checkpoint files written")
+      val rddDirs = java.nio.file.Files.walk(base)
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      assert(rddDirs == 1, s"superseded checkpoints not cleaned: $rddDirs rdd dirs remain")
     } finally {
       // restore the default (local) barrier for the other suites
       org.apache.spark.sql.graftbridge.Bridge.clearCheckpointDir(spark.sparkContext)
