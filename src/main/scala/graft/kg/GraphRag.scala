@@ -51,17 +51,24 @@ final class GraphRag(
     * @param idfWeighting term-side ranking: false = raw TF (the
     *   documented spec substitution for the reference's Lucene score);
     *   true = tf · ln(N/df) ([[Retrieval.termSearchIdf]]), the
-    *   DF-weighted shape a Lucene-like fulltext ranking carries. */
+    *   DF-weighted shape a Lucene-like fulltext ranking carries.
+    * @param ranking overrides `idfWeighting` when non-empty: "tf", "idf",
+    *   or "bm25" (k1/b-saturated [[Retrieval.termSearchBm25]] — the full
+    *   Lucene-shaped score). */
   def query(
       q: String,
       topK: Int = config.topK,
       withContext: Boolean = false,
       includeTriplets: Boolean = true,
-      idfWeighting: Boolean = false): QueryResult = {
+      idfWeighting: Boolean = false,
+      ranking: String = ""): QueryResult = {
     val terms = io.read(spark, "terms")
-    def termHits =
-      if (idfWeighting) retrieval.termSearchIdf(terms, chunksDs, q, topK)
-      else retrieval.termSearch(terms, chunksDs, q, topK)
+    val rank = if (ranking.nonEmpty) ranking else if (idfWeighting) "idf" else "tf"
+    def termHits = rank match {
+      case "idf"  => retrieval.termSearchIdf(terms, chunksDs, q, topK)
+      case "bm25" => retrieval.termSearchBm25(terms, chunksDs, q, topK)
+      case _      => retrieval.termSearch(terms, chunksDs, q, topK)
+    }
     val hits =
       if (withContext) {
         // §3.3: graph-only retrieval + ±contextSize range-join expansion
@@ -73,7 +80,13 @@ final class GraphRag(
       }
     val triplets =
       if (includeTriplets)
-        Some(retrieval.relationshipSearch(io.read(spark, "edges"), q, topK))
+        // prefer the entity-bucketed secondary layout (partition-pruned
+        // per-entity lookup); fall back to the edge scan on stores written
+        // before the index existed
+        Some(if (io.exists(spark, "edge_entity_index"))
+          retrieval.relationshipSearchIndexed(
+            io.read(spark, "edge_entity_index"), q, topK)
+        else retrieval.relationshipSearch(io.read(spark, "edges"), q, topK))
       else None
     QueryResult(hits, triplets)
   }
@@ -81,8 +94,8 @@ final class GraphRag(
   /** `graphrag stats`: table row counts (the reference's node/rel
     * counts, `cli/main.py:90-104`). */
   def stats(): Map[String, Long] =
-    Seq("chunks", "chunk_embeddings", "terms", "edges", "canonical_edges",
-      "vertices", "aliases")
+    Seq("chunks", "chunk_embeddings", "terms", "edges", "edge_entity_index",
+      "canonical_edges", "vertices", "aliases")
       .filter(io.exists(spark, _))
       .map(t => t -> io.read(spark, t).count()).toMap
 
@@ -91,8 +104,8 @@ final class GraphRag(
     * limit(0) of the table itself — overwriting a path from a plan that
     * reads the same path is undefined). */
   def reset(): Unit =
-    Seq("chunks", "chunk_embeddings", "terms", "edges", "canonical_edges",
-      "vertices", "aliases").foreach { t =>
+    Seq("chunks", "chunk_embeddings", "terms", "edges", "edge_entity_index",
+      "canonical_edges", "vertices", "aliases").foreach { t =>
       if (io.exists(spark, t)) {
         val schema = io.read(spark, t).schema
         val empty = spark.createDataFrame(

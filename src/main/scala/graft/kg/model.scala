@@ -109,4 +109,9 @@ final case class GraftConfig(
       * broadcasting the canonical map when rewriting edges — for the
       * regime where distinct mentions outgrow broadcast; see
       * [[graft.kg.stages.Materialize.canonicalEdges]]. */
-    saltedCanonicalJoin: Boolean = false)
+    saltedCanonicalJoin: Boolean = false,
+    /** Max members per LSH band bucket before the bucket is dropped as
+      * non-discriminative — bounds the banded self-join's candidate count
+      * deterministically on adversarial near-identical-name corpora; see
+      * [[graft.kg.stages.Link.lshAliases]]. */
+    lshMaxBucket: Int = 256)

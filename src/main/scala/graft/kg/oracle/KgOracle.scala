@@ -18,8 +18,8 @@ import scala.collection.mutable
   * shared, so a data typo cannot make both sides agree by accident while
   * the LOGIC is written twice).
   *
-  * `Verify` writes these expected tables to `<out>/expected/<name>` and
-  * rewrites each kg_* oracle SQL to `read_parquet('<out>/expected/...')`,
+  * `Verify` writes these expected tables to `<out>/_expected/<name>` and
+  * rewrites each kg_* oracle SQL to `read_parquet('<out>/_expected/...')`,
   * so the driver's DuckDB hash-compare checks pipeline output against an
   * independently computed expectation — converting the kg_* family from
   * rows-only to full tri-green rows in CORRECTNESS_r{N}.json.
@@ -315,12 +315,15 @@ object KgOracle {
 
     /** Expected canonical mapping under lsh linking, mirroring the
       * pipeline's DETERMINISTIC blocking spec: candidates = pairs sharing
-      * any md5-band minhash of their char-3-gram shingle sets, filtered at
-      * exact shingle-Jaccard distance ≤ cap AND cosine ≥ threshold,
-      * symmetric top-K per probe, union-find components, canonical =
-      * lexicographic min; non-identity rows only. */
+      * any md5-band minhash of their char-3-gram shingle sets whose band
+      * bucket has ≤ maxBucket members (oversized buckets are dropped
+      * whole, mirroring the pipeline's skew cap), filtered at exact
+      * shingle-Jaccard distance ≤ cap AND cosine ≥ threshold, symmetric
+      * top-K per probe, union-find components, canonical = lexicographic
+      * min; non-identity rows only. */
     def canonicalLsh(threshold: Double = 0.85, topK: Int = 10,
-        jaccardCap: Double = 0.7, numBands: Int = 8): Vector[(String, String)] = {
+        jaccardCap: Double = 0.7, numBands: Int = 8,
+        maxBucket: Int = 256): Vector[(String, String)] = {
       val mentions = triples.flatMap(t =>
         Vector(t.subj.toLowerCase, t.pred.toLowerCase, t.obj.toLowerCase)).distinct.sorted
       val vecs = mentions.map(m => m -> embedder.embedPassage(m)).toMap
@@ -329,11 +332,17 @@ object KgOracle {
       val sigs: Map[String, Vector[String]] = mentions.map { m =>
         m -> (0 until numBands).map(b => sh(m).map(g => md5hex(s"$b|$g")).min).toVector
       }.toMap
+      // band-bucket sizes: (band, minhash) → member count (for the cap)
+      val bucketSize: Map[(Int, String), Int] = mentions
+        .flatMap(m => (0 until numBands).map(b => (b, sigs(m)(b))))
+        .groupBy(identity).map { case (k, vs) => k -> vs.size }
       val pairs = for {
         ai <- mentions.indices.toVector
         bi <- (ai + 1) until mentions.length
         a = mentions(ai); b = mentions(bi)
-        if (0 until numBands).exists(k => sigs(a)(k) == sigs(b)(k)) // band collision
+        // band collision in a non-oversized bucket
+        if (0 until numBands).exists(k =>
+          sigs(a)(k) == sigs(b)(k) && bucketSize((k, sigs(a)(k))) <= maxBucket)
         inter = (sh(a) intersect sh(b)).size.toDouble
         union = (sh(a) union sh(b)).size.toDouble
         if 1.0 - inter / union <= jaccardCap
@@ -344,11 +353,15 @@ object KgOracle {
       val kept = sym.groupBy(_._1).toVector.flatMap { case (_, ps) =>
         ps.sortBy { case (_, b, s) => (-s, b) }.take(topK)
       }
-      // union-find over kept pairs
+      // union-find over kept pairs (iterative find — stack-safe on long
+      // alias chains, same shape as the pipeline's local solve)
       val parent = mutable.Map.empty[String, String]
       def find(x: String): String = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var r = x
+        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
       }
       kept.foreach { case (a, b, _) =>
         val (ra, rb) = (find(a), find(b))
@@ -368,13 +381,13 @@ object KgOracle {
 
   // ===== parquet dump for the DuckDB compare =====
 
-  /** Write all expected kg_* tables under `<outDir>/expected/<name>`,
+  /** Write all expected kg_* tables under `<outDir>/_expected/<name>`,
     * with column names/types matching the Verify query dumps. */
   def writeExpected(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     import spark.implicits._
     val e = new Expected(sfDir)
     def put(name: String, df: DataFrame): Unit =
-      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/expected/$name")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_expected/$name")
 
     put("kg_chunks", e.chunks.toDF())
     put("kg_terms", spark.createDataset(e.terms).toDF("chunkId", "text", "termType")
@@ -398,19 +411,19 @@ object KgOracle {
     * `{OUT}` is substituted with the actual outDir by [[graft.Verify]]. */
   val oracles: Map[String, String] = Map(
     "kg_chunks" ->
-      "SELECT * FROM read_parquet('{OUT}/expected/kg_chunks/*.parquet') ORDER BY chunkId",
+      "SELECT * FROM read_parquet('{OUT}/_expected/kg_chunks/*.parquet') ORDER BY chunkId",
     "kg_terms" ->
-      "SELECT * FROM read_parquet('{OUT}/expected/kg_terms/*.parquet') ORDER BY chunkId, termType, text",
+      "SELECT * FROM read_parquet('{OUT}/_expected/kg_terms/*.parquet') ORDER BY chunkId, termType, text",
     "kg_edges" ->
-      "SELECT * FROM read_parquet('{OUT}/expected/kg_edges/*.parquet') ORDER BY subj, pred, obj",
+      "SELECT * FROM read_parquet('{OUT}/_expected/kg_edges/*.parquet') ORDER BY subj, pred, obj",
     "kg_vertices" ->
-      "SELECT * FROM read_parquet('{OUT}/expected/kg_vertices/*.parquet') ORDER BY name",
+      "SELECT * FROM read_parquet('{OUT}/_expected/kg_vertices/*.parquet') ORDER BY name",
     "kg_canonical_lsh" ->
-      "SELECT * FROM read_parquet('{OUT}/expected/kg_canonical_lsh/*.parquet') ORDER BY name",
+      "SELECT * FROM read_parquet('{OUT}/_expected/kg_canonical_lsh/*.parquet') ORDER BY name",
     "kg_hybrid_search" ->
-      "SELECT * FROM read_parquet('{OUT}/expected/kg_hybrid_search/*.parquet') ORDER BY score DESC, chunkId",
+      "SELECT * FROM read_parquet('{OUT}/_expected/kg_hybrid_search/*.parquet') ORDER BY score DESC, chunkId",
     "kg_context_search" ->
-      "SELECT * FROM read_parquet('{OUT}/expected/kg_context_search/*.parquet') ORDER BY score DESC, docId, \"index\"",
+      "SELECT * FROM read_parquet('{OUT}/_expected/kg_context_search/*.parquet') ORDER BY score DESC, docId, \"index\"",
     "kg_relationship_search" ->
-      "SELECT * FROM read_parquet('{OUT}/expected/kg_relationship_search/*.parquet') ORDER BY entity, subj, pred, obj")
+      "SELECT * FROM read_parquet('{OUT}/_expected/kg_relationship_search/*.parquet') ORDER BY entity, subj, pred, obj")
 }

@@ -21,7 +21,10 @@ trait GraphTableIO extends Serializable {
     * plain partition columns). */
   def merge(spark: SparkSession, table: String, delta: DataFrame,
       keys: Seq[String], partitionCols: Seq[String] = Nil): Unit
-  def overwrite(spark: SparkSession, table: String, df: DataFrame): Unit
+  /** Replace `table` with `df` (full rewrite — the compaction write path).
+    * Must be safe when `df`'s plan READS the table being replaced. */
+  def overwrite(spark: SparkSession, table: String, df: DataFrame,
+      partitionCols: Seq[String] = Nil): Unit
 }
 
 /** Parquet-backed sandbox impl rooted at `root`. A production impl would
@@ -44,15 +47,33 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
     // added to the delta in a later engine version (e.g. the terms table
     // gaining `tf`) null-fills the pre-existing rows instead of crashing
     // ingest into a store created by an older version — matching Iceberg
-    // MERGE INTO behavior after an ADD COLUMN
+    // MERGE INTO behavior after an ADD COLUMN.
+    // Key collisions resolve DETERMINISTICALLY in the delta's favor
+    // (WHEN MATCHED THEN UPDATE): existing rows whose key reappears in the
+    // delta are anti-joined away, so a re-ingest repairs e.g. a null-tf
+    // row from an older store instead of arbitrarily keeping either side.
     val merged =
-      if (exists(spark, table))
-        read(spark, table).unionByName(delta, allowMissingColumns = true)
+      if (exists(spark, table)) {
+        val deltaKeys = delta.select(keys.map(col): _*).distinct()
+        read(spark, table)
+          .join(deltaKeys, keys, "left_anti")
+          .unionByName(delta, allowMissingColumns = true)
           .dropDuplicates(keys)
-      else delta.dropDuplicates(keys)
-    // write via temp dir then swap: the source may be the table itself
+      } else delta.dropDuplicates(keys)
+    writeSwap(spark, table, merged, partitionCols)
+  }
+
+  def overwrite(spark: SparkSession, table: String, df: DataFrame,
+      partitionCols: Seq[String] = Nil): Unit =
+    writeSwap(spark, table, df, partitionCols)
+
+  /** Write via temp dir then swap — the source plan may read the table
+    * being replaced (self-merge, compaction), so a direct overwrite would
+    * clobber its own input mid-scan. */
+  private def writeSwap(spark: SparkSession, table: String, df: DataFrame,
+      partitionCols: Seq[String]): Unit = {
     val tmp = path(table) + "__tmp"
-    val writer = merged.write.mode(SaveMode.Overwrite)
+    val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -61,7 +82,4 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
-
-  def overwrite(spark: SparkSession, table: String, df: DataFrame): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(path(table))
 }

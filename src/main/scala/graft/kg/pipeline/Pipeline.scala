@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   * the LSH join (lsh mode only), CC iterations (lsh mode only), and the
   * final MERGE-key dedups.
   */
+object Pipeline {
+  /** Hash-bucket count of the physical table layouts (pbucket/nbucket/
+    * ebucket — Iceberg `bucket(N, col)` analogue, SURVEY.md §4.4). Shared
+    * with the query side so entity-bucket pruning computes the same
+    * bucket ids the writer laid down. */
+  val NumBuckets = 32
+}
+
 final class Pipeline(
     config: GraftConfig = GraftConfig(),
     embedder: Embedder = new HashEmbedder(),
@@ -108,9 +116,11 @@ final class Pipeline(
         // incremental mode — fold a vertices-snapshot marker into its
         // fingerprint (but not into chunks/triples, which don't)
         val evFp = existingVertices
-          .map(ev => s";ev=${identityFp(ev, col("name"))}").getOrElse("")
+          .map(ev => s";ev=${identityFp(ev, col("name"))}").getOrElse("") +
+          s";mb=${config.lshMaxBucket}" // cap changes the alias output
         ckpt.stage("aliases", "v1", fp + evFp) {
-          Link.lshAliases(linkUniverse, config.linkThreshold, config.linkTopK).toDF()
+          Link.lshAliases(linkUniverse, config.linkThreshold, config.linkTopK,
+            maxBucket = config.lshMaxBucket).toDF()
         }.as[AliasPair]
       case _ => Link.exactAliases(spark) // stock reference behavior
     }
@@ -122,7 +132,8 @@ final class Pipeline(
     val edges = Materialize.edges(triples)
     val canonEdges =
       Materialize.canonicalEdges(edges, canonical, salted = config.saltedCanonicalJoin)
-    val vertices = Materialize.vertices(triples, mentionVecs, canonical)
+    val vertices = Materialize.vertices(triples, mentionVecs, canonical,
+      broadcastCanon = !config.saltedCanonicalJoin)
 
     Result(docs, chunks, embeddings, terms, triples, mentionVecs, aliases,
       canonical, edges, canonEdges, vertices)
@@ -142,16 +153,14 @@ final class Pipeline(
         Some(io.read(spark, "vertices").localCheckpoint())
       else None
     val r = run(corpus, existing)
-    import org.apache.spark.sql.functions.{hash, pmod, lit}
+    import Pipeline.NumBuckets
     // physical layout (SURVEY.md §4.4): edges bucketed by pred hash,
     // vertices by name hash — partition-parallel MERGE and pruning;
     // production = Iceberg bucket(N, col) transforms
     val edgesPart = r.edges.toDF()
-      .withColumn("pbucket", pmod(hash(org.apache.spark.sql.functions.col("pred")), lit(32)))
-    val canonEdgesPart = r.canonicalEdges.toDF()
-      .withColumn("pbucket", pmod(hash(org.apache.spark.sql.functions.col("pred")), lit(32)))
+      .withColumn("pbucket", pmod(hash(col("pred")), lit(NumBuckets)))
     val verticesPart = r.vertices.toDF()
-      .withColumn("nbucket", pmod(hash(org.apache.spark.sql.functions.col("name")), lit(32)))
+      .withColumn("nbucket", pmod(hash(col("name")), lit(NumBuckets)))
     io.merge(spark, "chunks", r.chunks.toDF(), Seq("chunkId"))
     io.merge(spark, "chunk_embeddings", r.chunkEmbeddings.toDF(), Seq("chunkId"))
     // terms dedup on the MERGE key but KEEP the in-flight multiplicity as
@@ -162,15 +171,76 @@ final class Pipeline(
         .agg(count(lit(1)).as("tf")),
       Seq("chunkId", "text", "termType"))
     io.merge(spark, "edges", edgesPart, Seq("subj", "pred", "obj"), Seq("pbucket"))
-    io.merge(spark, "canonical_edges", canonEdgesPart,
-      Seq("subj", "pred", "obj"), Seq("pbucket"))
+    // entity-bucketed SECONDARY edge layout: one row per (entity ∈ {subj,
+    // obj}, edge), partitioned by entity hash bucket, so the per-entity
+    // relationship lookup (retrieval.py:265-314 is an indexed lookup, not
+    // a scan) partition-prunes instead of scanning every edge — the
+    // pred-hash primary layout prunes nothing for a by-entity filter.
+    // Edges are immutable keyed rows, so exploding only the DELTA keeps
+    // the index complete under MERGE accumulation.
+    val edgeIndexDelta = r.edges.toDF()
+      .select(explode(array(col("subj"), col("obj"))).as("entity"),
+        col("subj"), col("pred"), col("obj"), col("label"), col("sourceChunkId"))
+      .withColumn("ebucket", pmod(hash(col("entity")), lit(NumBuckets)))
+    io.merge(spark, "edge_entity_index", edgeIndexDelta,
+      Seq("entity", "subj", "pred", "obj"), Seq("ebucket"))
+    if (existing.isEmpty) {
+      // fresh store: the batch-local canonical edges ARE globally
+      // consistent; incremental batches instead rebuild the table in
+      // compact() below, so this merge would be dead work there
+      val canonEdgesPart = r.canonicalEdges.toDF()
+        .withColumn("pbucket", pmod(hash(col("pred")), lit(NumBuckets)))
+      io.merge(spark, "canonical_edges", canonEdgesPart,
+        Seq("subj", "pred", "obj"), Seq("pbucket"))
+    }
     io.merge(spark, "vertices", verticesPart, Seq("name"), Seq("nbucket"))
     io.merge(spark, "aliases", r.aliases.toDF(), Seq("a", "b"))
+    if (existing.isDefined) compact(spark, io)
     val tableCounts = Seq("chunks", "chunk_embeddings", "terms", "edges",
-      "canonical_edges", "vertices", "aliases")
+      "edge_entity_index", "canonical_edges", "vertices", "aliases")
       .map(t => t -> io.read(spark, t).count()).toMap
     // fold in the observed in-flight stage counters (Metrics piggyback on
     // the actions above — no extra job)
     tableCounts ++ Metrics.snapshot.map { case (k, v) => s"observed_$k" -> v }
+  }
+
+  /** Retroactive canonicalization across incremental batches (the pinned
+    * semantics): when batch N's linking merges an entity with a prior
+    * batch's, previously materialized rows still carry the old canonical
+    * name — the reference shares this eventual-inconsistency (its MERGE
+    * upserts never rewrite history). Here `canonical_edges` is DERIVED
+    * state: after every incremental batch it is rebuilt from the
+    * cumulative base edge set under the canonical map of the CUMULATIVE
+    * alias set (so components spanning batches — even transitively, batch
+    * 3 linking A–B after batch 1 linked B–C — resolve to one canonical
+    * name), and `vertices.canonicalName` is refreshed under the same map.
+    * At 10^12-file scale this is the periodic compaction job; a read-time
+    * remap view is the cheaper alternative when batches are frequent. */
+  private def compact(spark: SparkSession, io: GraphTableIO): Unit = {
+    import spark.implicits._
+    val allAliases = io.read(spark, "aliases").as[AliasPair]
+    val baseEdges = io.read(spark, "edges")
+      .select("subj", "pred", "obj", "label", "sourceChunkId").as[RelatesToEdge]
+    val names = baseEdges.toDF()
+      .select(explode(array(col("subj"), col("pred"), col("obj"))).as("name"))
+    val canonAll = Canonicalize.canonicalMap(names, allAliases,
+      broadcastCC = !config.saltedCanonicalJoin)
+    val compacted = Materialize
+      .canonicalEdges(baseEdges, canonAll, salted = config.saltedCanonicalJoin)
+      .toDF().withColumn("pbucket", pmod(hash(col("pred")), lit(Pipeline.NumBuckets)))
+    io.overwrite(spark, "canonical_edges", compacted, Seq("pbucket"))
+    // vertices keep their mention-level identity (name is the MERGE key);
+    // only the canonicalName pointer is remapped — same broadcast/plain
+    // join regime as the vertex build
+    val canonSide =
+      if (config.saltedCanonicalJoin) canonAll.toDF()
+      else broadcast(canonAll.toDF())
+    val refreshed = io.read(spark, "vertices")
+      .drop("canonicalName")
+      .join(canonSide, Seq("name"), "left")
+      .select(col("name"),
+        coalesce(col("canonicalName"), col("name")).as("canonicalName"),
+        col("vec"), col("tripletPart"), col("nbucket"))
+    io.overwrite(spark, "vertices", refreshed, Seq("nbucket"))
   }
 }

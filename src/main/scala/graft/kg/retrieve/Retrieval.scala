@@ -2,6 +2,7 @@ package graft.kg.retrieve
 
 import graft.kg._
 import graft.kg.embed.Embedder
+import graft.kg.pipeline.Pipeline
 import graft.kg.textspec.{Stopwords, Tokens}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -18,6 +19,19 @@ import org.apache.spark.sql.functions._
 final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
     extends Serializable {
 
+  /** TF aggregation over a terms frame: in-flight terms carry one row per
+    * occurrence (count them); the materialized table is deduped on the
+    * MERGE key with an explicit `tf` multiplicity column (sum it) — same
+    * TF score either way. A store created by an older engine version has
+    * its pre-existing rows null-filled on `tf` by the schema-evolution
+    * MERGE (see [[graft.kg.pipeline.GraphTableIO]]) — a deduped row
+    * represents tf ≥ 1, so nulls score as 1 instead of poisoning the sum
+    * to NULL (which would rank old-store chunks last with null scores). */
+  private def tfScore(terms: DataFrame): org.apache.spark.sql.Column =
+    if (terms.columns.contains("tf"))
+      sum(coalesce(col("tf"), lit(1L))).cast("double")
+    else count(lit(1)).cast("double")
+
   /** A1 term search: query terms → term-edge equi-join → SUM per chunk →
     * top-k (`retrieval.py:193-229`). `terms` = (chunkId, text, termType);
     * the query-term list is tiny → broadcast. */
@@ -28,12 +42,7 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
     val qTerms = Tokens.normalize(query).filterNot(Stopwords.english.contains).distinct
     if (qTerms.isEmpty) // full result schema, zero rows
       return chunks.toDF().select($"chunkId", lit(0.0).as("score"), $"text").limit(0)
-    // in-flight terms carry one row per occurrence (count them); the
-    // materialized table is deduped on the MERGE key with an explicit
-    // `tf` multiplicity column (sum it) — same TF score either way
-    val tfCol =
-      if (terms.columns.contains("tf")) sum($"tf").cast("double")
-      else count(lit(1)).cast("double")
+    val tfCol = tfScore(terms)
     terms
       .filter($"termType" === "unigram" && $"text".isin(qTerms: _*))
       .groupBy($"chunkId")
@@ -57,9 +66,7 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
     val qTerms = Tokens.normalize(query).filterNot(Stopwords.english.contains).distinct
     if (qTerms.isEmpty)
       return chunks.toDF().select($"chunkId", lit(0.0).as("score"), $"text").limit(0)
-    val tfCol =
-      if (terms.columns.contains("tf")) sum($"tf").cast("double")
-      else count(lit(1)).cast("double")
+    val tfCol = tfScore(terms)
     val hits = terms.filter($"termType" === "unigram" && $"text".isin(qTerms: _*))
     val tf = hits.groupBy($"chunkId", $"text").agg(tfCol.as("tf"))
     val dfreq = tf.groupBy($"text")
@@ -68,6 +75,40 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
     tf.join(broadcast(dfreq), Seq("text"))
       .crossJoin(broadcast(n))
       .select($"chunkId", ($"tf" * log($"n_chunks" / $"df")).as("w"))
+      .groupBy($"chunkId").agg(sum($"w").as("score"))
+      .join(chunks.toDF().select($"chunkId", $"text"), Seq("chunkId"))
+      .orderBy($"score".desc, $"chunkId")
+      .limit(topK)
+  }
+
+  /** A1 variant: full BM25 ranking (Robertson/Sparck-Jones IDF + tf
+    * saturation k1 + length normalization b) — the closest shape to the
+    * Lucene fulltext score the reference delegates to
+    * (`retrieval.py:204-218`). score(chunk) =
+    * Σ_t ln(1 + (N-df+0.5)/(df+0.5)) · tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)),
+    * dl = chunk token count, avgdl its mean. All partial-aggregable plus
+    * two broadcast scalars — no extra shuffles beyond [[termSearchIdf]]. */
+  def termSearchBm25(terms: DataFrame, chunks: Dataset[Chunk], query: String,
+      topK: Int = config.topK, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = terms.sparkSession
+    import spark.implicits._
+    val qTerms = Tokens.normalize(query).filterNot(Stopwords.english.contains).distinct
+    if (qTerms.isEmpty)
+      return chunks.toDF().select($"chunkId", lit(0.0).as("score"), $"text").limit(0)
+    val hits = terms.filter($"termType" === "unigram" && $"text".isin(qTerms: _*))
+    val tf = hits.groupBy($"chunkId", $"text").agg(tfScore(terms).as("tf"))
+    val dfreq = tf.groupBy($"text")
+      .agg(count(lit(1)).cast("double").as("df")) // tf rows are distinct (chunk, term)
+    val stats = chunks.toDF().agg(count(lit(1)).cast("double").as("n_chunks"),
+      avg($"nTokens").as("avgdl"))
+    tf.join(broadcast(dfreq), Seq("text"))
+      .join(chunks.toDF().select($"chunkId", $"nTokens".cast("double").as("dl")),
+        Seq("chunkId"))
+      .crossJoin(broadcast(stats))
+      .select($"chunkId",
+        (log(lit(1.0) + ($"n_chunks" - $"df" + 0.5) / ($"df" + 0.5)) *
+          ($"tf" * (k1 + 1.0)) /
+          ($"tf" + lit(k1) * (lit(1.0 - b) + lit(b) * $"dl" / $"avgdl"))).as("w"))
       .groupBy($"chunkId").agg(sum($"w").as("score"))
       .join(chunks.toDF().select($"chunkId", $"text"), Seq("chunkId"))
       .orderBy($"score".desc, $"chunkId")
@@ -180,18 +221,60 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
       topK: Int = config.topK): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val entities = "[A-Z][a-z]+(?:\\s+[A-Z][a-z]+)*".r
-      .findAllIn(query).map(_.toLowerCase).toSeq.distinct
+    val entities = queryEntities(query)
     if (entities.isEmpty) return edges.limit(0)
-    val perEntity = Window.partitionBy($"entity")
-      .orderBy($"subj", $"pred", $"obj")
     edges
       .withColumn("entity",
         explode(filter(typedLit(entities),
           e => e === $"subj" || e === $"obj")))
+      .transform(capPerEntity(_, topK, entities.size))
+  }
+
+  /** P7 capitalized-phrase entity candidates of a query. */
+  private def queryEntities(query: String): Seq[String] =
+    "[A-Z][a-z]+(?:\\s+[A-Z][a-z]+)*".r
+      .findAllIn(query).map(_.toLowerCase).toSeq.distinct
+
+  /** O5 caps shared by both relationship-lookup paths: per-entity top-k by
+    * (subj, pred, obj), then the reference's global topK·entities cap. */
+  private def capPerEntity(hits: DataFrame, topK: Int, nEntities: Int): DataFrame = {
+    val perEntity = Window.partitionBy(col("entity"))
+      .orderBy(col("subj"), col("pred"), col("obj"))
+    hits
       .withColumn("rn", row_number().over(perEntity))
-      .filter($"rn" <= topK).drop("rn")
-      .orderBy($"entity", $"subj", $"pred", $"obj")
-      .limit(topK * math.max(entities.size, 1))
+      .filter(col("rn") <= topK).drop("rn")
+      .orderBy(col("entity"), col("subj"), col("pred"), col("obj"))
+      .limit(topK * math.max(nEntities, 1))
+  }
+
+  /** [[relationshipSearch]] routed through the entity-bucketed secondary
+    * edge layout (`edge_entity_index`, written at materialize: one row per
+    * (entity ∈ {subj, obj}, edge), partitioned by
+    * `ebucket = pmod(hash(entity), NumBuckets)`).
+    *
+    * The scan-based path reads the FULL edge table per query — edges are
+    * bucketed by pred hash only, so a by-entity filter prunes nothing and
+    * at 100× every query pays a full scan (the reference's lookup is
+    * per-entity indexed, `retrieval.py:265-314`). Here the query entities'
+    * bucket ids are computed driver-side (a LocalRelation projection —
+    * Catalyst folds it without launching a job, using the same Murmur3
+    * `hash` the writer used) and pushed as a LITERAL `ebucket IN (...)`
+    * predicate, so the parquet scan partition-prunes to ≤ |entities|
+    * of the NumBuckets directories before the row-level entity filter. */
+  def relationshipSearchIndexed(edgeIndex: DataFrame, query: String,
+      topK: Int = config.topK): DataFrame = {
+    val spark = edgeIndex.sparkSession
+    import spark.implicits._
+    val entities = queryEntities(query)
+    val resultCols =
+      Seq($"subj", $"pred", $"obj", $"label", $"sourceChunkId", $"entity")
+    if (entities.isEmpty) return edgeIndex.select(resultCols: _*).limit(0)
+    val buckets = spark.createDataset(entities).toDF("e")
+      .select(pmod(hash($"e"), lit(Pipeline.NumBuckets)).as("b"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    edgeIndex
+      .filter($"ebucket".isin(buckets: _*) && $"entity".isin(entities: _*))
+      .select(resultCols: _*)
+      .transform(capPerEntity(_, topK, entities.size))
   }
 }

@@ -111,14 +111,29 @@ object Canonicalize {
     val distinctEdges = aliases.select(col("a").as("u"), col("b").as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
+      // persisted across the size probe AND the first barrier: the probe's
+      // limit+collect executes the full upstream linking-join DAG (the most
+      // expensive stage of the lsh pipeline) — without the persist, the
+      // distributed path's first checkpoint would re-execute it from
+      // scratch, paying the linking join twice exactly in the regime (big
+      // alias graph) where it hurts most. Caching materializes whole
+      // partitions, so partitions the probe touched are reused verbatim.
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // cheap size probe: take threshold+1 rows; under the cap → local solve
     val head = distinctEdges.limit((localSolveThreshold + 1).toInt).collect()
     if (head.length <= localSolveThreshold) {
       val parent = mutable.Map.empty[String, String]
+      // iterative find (walk to root, second pass compresses): union-by-min
+      // can build O(n) parent chains on adversarial edge orders (e.g. long
+      // near-duplicate version chains), which would blow the JVM stack in
+      // a recursive find at the 2^20-edge threshold
       def find(x: String): String = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var r = x
+        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
       }
       head.foreach { r =>
         val (a, b) = (r.getString(0), r.getString(1))
@@ -130,10 +145,13 @@ object Canonicalize {
         val m = ns.min
         ns.collect { case n if n != m => CanonicalMapping(n, m) }
       }
+      distinctEdges.unpersist(blocking = false) // fully consumed by the probe
       return spark.createDataset(mapping)
     }
 
     var (edges, edgesCkpt) = barrierTracked(distinctEdges)
+    // the first barrier materialized a checkpoint copy — the cache is dead
+    distinctEdges.unpersist(blocking = false)
 
     var converged = edges.isEmpty
     var iter = 0

@@ -90,7 +90,8 @@ object Link {
       threshold: Double,
       linkTopK: Int,
       jaccardDistanceCap: Double = 0.7,
-      numBands: Int = 8): Dataset[AliasPair] = {
+      numBands: Int = 8,
+      maxBucket: Int = 256): Dataset[AliasPair] = {
     val spark = mentionVecs.sparkSession
     import spark.implicits._
 
@@ -108,7 +109,21 @@ object Link {
       .withColumn("mh",
         expr("array_min(transform(sh, g -> md5(concat(cast(band AS string), '|', g))))"))
 
-    val pairs = sigs.as("x").join(sigs.as("y"),
+    // deterministic bucket-size cap: a pathological shingle distribution
+    // (thousands of near-identical names sharing a band minhash) would
+    // make the band self-join quadratic in the bucket — AQE skew-split
+    // only mitigates the straggler task, not the O(n²) pair count.
+    // Buckets over `maxBucket` members are DROPPED whole (the production
+    // MinHash-dedup convention: a bucket that big is a degenerate,
+    // non-discriminative band), bounding candidate pairs at
+    // buckets · maxBucket² per band. Oversized buckets are by nature few
+    // → broadcast anti-join; the bucket count is partial-aggregable.
+    val oversized = sigs.groupBy($"band", $"mh")
+      .agg(count(lit(1)).as("n")).filter($"n" > maxBucket)
+      .select($"band", $"mh")
+    val pruned = sigs.join(broadcast(oversized), Seq("band", "mh"), "left_anti")
+
+    val pairs = pruned.as("x").join(pruned.as("y"),
         col("x.band") === col("y.band") && col("x.mh") === col("y.mh") &&
           col("x.name") < col("y.name"))
       .select(

@@ -92,11 +92,22 @@ object Materialize {
   /** Entity vertices: subject/object mentions only (predicates become edge
     * names, reference `triplets.py:363`), `triplet_part` = last-writer by
     * lineage made deterministic via max_by, embeddings from the mention
-    * embedding table. */
+    * embedding table.
+    *
+    * Join strategy mirrors [[canonicalEdges]]: by default the canonical
+    * map (identity rows included — one per distinct mention) is broadcast;
+    * `broadcastCanon = false` is for the regime where the mention
+    * vocabulary outgrows broadcast — the join is a plain equi-join on
+    * `name` with no hub skew (names are distinct on the probe side), so
+    * the planner's sort-merge is the right shape there and no salting is
+    * needed. Without this flag the vertex build would OOM by construction
+    * exactly when the edge rewrite has already switched to its salted
+    * path. */
   def vertices(
       triples: Dataset[Triple],
       mentionVecs: DataFrame, // (name, vec)
-      canon: Dataset[CanonicalMapping]): Dataset[EntityVertex] = {
+      canon: Dataset[CanonicalMapping],
+      broadcastCanon: Boolean = true): Dataset[EntityVertex] = {
     val spark = triples.sparkSession
     import spark.implicits._
     val occurrences = triples.select(
@@ -114,9 +125,10 @@ object Materialize {
       .groupBy($"name")
       .agg(max_by($"role", struct($"lineage", $"role")).as("tripletPart"))
 
+    val canonSide = if (broadcastCanon) broadcast(canon.toDF()) else canon.toDF()
     parts
       .join(mentionVecs, Seq("name"), "left")
-      .join(broadcast(canon.toDF()), Seq("name"), "left")
+      .join(canonSide, Seq("name"), "left")
       .select($"name",
         coalesce($"canonicalName", $"name").as("canonicalName"),
         coalesce($"vec", array().cast("array<float>")).as("vec"),

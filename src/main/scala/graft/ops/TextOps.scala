@@ -137,6 +137,39 @@ object TextOps {
         .limit(10)
     }),
 
+    // A1 variant: BM25 (Robertson/Sparck-Jones) — the full Lucene-shaped
+    // ranking with tf saturation (k1) and length normalization (b) on top
+    // of q38's IDF weight: score = Σ_t ln(1 + (N-df+0.5)/(df+0.5)) ·
+    // tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)). All partial-aggregable +
+    // two broadcast scalars — same shuffle count as q20.
+    "q39_term_relevance_bm25" -> ((s, dir) => {
+      val (k1, b) = (1.2, 0.75)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("double").as("dl"))
+      val toks = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(queryTerms: _*))
+      val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      val dfreq = toks.groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+      tf.join(broadcast(dfreq), Seq("tok"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * (k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+            .as("w"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("w")), 6).as("relevance"))
+        .orderBy(col("relevance").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // Token counting: whitespace tokens + BPE-ish subword estimate
     // (sum of ceil(len/4) per token), grouped per lang.
     "q21_token_count" -> ((s, dir) => {
@@ -275,6 +308,23 @@ object TextOps {
                    FROM q GROUP BY 1, 2)
             SELECT tf.doc_id, round(sum(tf.tf * ln(n.n_docs / dfreq.df)), 6) AS relevance
             FROM tf JOIN dfreq ON dfreq.tok = tf.tok CROSS JOIN n
+            GROUP BY 1 ORDER BY relevance DESC, doc_id LIMIT 10""",
+      "q39_term_relevance_bm25" ->
+        s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            dl AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+            q AS (
+              SELECT doc_id, dl, unnest(toks) AS tok FROM dl),
+            qf AS (SELECT doc_id, dl, tok FROM q WHERE tok IN (${sqlList(queryTerms)})),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+            dfreq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                      FROM qf GROUP BY 1),
+            tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+                   FROM qf GROUP BY 1, 2)
+            SELECT tf.doc_id,
+              round(sum(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+                (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 6)
+                AS relevance
+            FROM tf JOIN dfreq ON dfreq.tok = tf.tok CROSS JOIN stats
             GROUP BY 1 ORDER BY relevance DESC, doc_id LIMIT 10""",
       "q21_token_count" ->
         """SELECT lang,

@@ -74,6 +74,22 @@ class ConnectedComponentsSuite extends AnyFunSuite {
     checkGraph(a ++ b, "cliques")
   }
 
+  test("upstream alias DAG computes each edge once across probe + barrier") {
+    val s = spark; import s.implicits._
+    // instrument the alias source: the accumulator counts every time a row
+    // is COMPUTED (not read from cache). The size probe executes the
+    // upstream DAG; without the persist in connectedComponents, the
+    // distributed path's first checkpoint would execute it a second time.
+    val acc = spark.sparkContext.longAccumulator("aliasEvals")
+    val base = spark.createDataset((1 to 100).map(i => AliasPair(s"n$i", s"n${i + 1}", 1.0)))
+    val tracked = base.mapPartitions { it => it.map { p => acc.add(1); p } }
+    // threshold 10 < 100 edges → forces the distributed star loop
+    val cc = Canonicalize.connectedComponents(tracked, localSolveThreshold = 10)
+    cc.count()
+    assert(acc.value == 100,
+      s"alias DAG executed ${acc.value / 100.0}x — expected exactly once")
+  }
+
   test("reliable-checkpoint barrier: same result with a storage-backed dir") {
     val dir = java.nio.file.Files.createTempDirectory("graftccckpt").toString
     spark.sparkContext.setCheckpointDir(dir)

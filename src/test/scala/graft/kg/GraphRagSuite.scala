@@ -11,10 +11,8 @@ class GraphRagSuite extends AnyFunSuite {
   lazy val spark = SparkSessionFixture.spark
 
   lazy val gen = CorpusGen.generate(repos = 4, filesPerRepo = 5, seed = 11L)
-  lazy val engine = {
-    val root = java.nio.file.Files.createTempDirectory("graftrag").toString
-    GraphRag(spark, root)
-  }
+  lazy val root = java.nio.file.Files.createTempDirectory("graftrag").toString
+  lazy val engine = GraphRag(spark, root)
   lazy val corpus = {
     val s = spark; import s.implicits._
     spark.createDataset(gen.rows)
@@ -58,6 +56,45 @@ class GraphRagSuite extends AnyFunSuite {
     val ctx = engine.query(subj, withContext = true, includeTriplets = false,
       idfWeighting = true).chunks.collect()
     assert(ctx.nonEmpty)
+  }
+
+  test("relationship lookup routes through the entity index, prunes, matches the scan") {
+    val s = spark; import s.implicits._
+    val subj = gen.truth.map(_._1).find(!_.contains(' ')).get
+    val query = s"What does ${subj.capitalize} do?"
+    val io = new pipeline.ParquetTableIO(root)
+    val retrieval = new retrieve.Retrieval(new embed.HashEmbedder())
+    val indexed = retrieval
+      .relationshipSearchIndexed(io.read(spark, "edge_entity_index"), query)
+    val scan = retrieval.relationshipSearch(
+      io.read(spark, "edges").drop("pbucket"), query)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("entity"), r.getAs[String]("subj"),
+        r.getAs[String]("pred"), r.getAs[String]("obj"))
+    assert(indexed.collect().map(key).toSeq == scan.collect().map(key).toSeq)
+    assert(indexed.count() > 0)
+    // the parquet scan must partition-prune on the LITERAL ebucket
+    // predicate — a bounded subset of the 32 bucket dirs, not a full scan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = indexed.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no file scan in the indexed plan")
+    val pf = scans.flatMap(_.partitionFilters).map(_.toString)
+    assert(pf.exists(_.contains("ebucket")),
+      s"ebucket partition filter missing; filters = $pf")
+  }
+
+  test("bm25 ranking through the facade returns saturated scores") {
+    val subj = gen.truth.map(_._1).find(!_.contains(' ')).get
+    val res = engine.query(s"Tell me about ${subj.capitalize}",
+      includeTriplets = false, ranking = "bm25")
+    val rows = res.chunks.collect()
+    assert(rows.nonEmpty, "bm25 hybrid query returned no chunks")
+    assert(rows.forall { r =>
+      val sc = r.getAs[Double]("score"); !r.isNullAt(r.fieldIndex("score")) &&
+        sc >= 0.0 && sc <= 1.0
+    })
   }
 
   test("re-ingest is idempotent; stats stable; reset truncates") {

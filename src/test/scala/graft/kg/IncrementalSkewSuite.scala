@@ -61,6 +61,65 @@ class IncrementalSkewSuite extends AnyFunSuite {
     assert(r.canonicalEdges.collect().toSet == rBroadcast.canonicalEdges.collect().toSet)
   }
 
+  test("vertices: non-broadcast canonical join equals broadcast (hub-heavy graph)") {
+    val s = spark; import s.implicits._
+    val triples = spark.createDataset((1 to 300).map { i =>
+      val obj = if (i % 3 == 0) "Utils" else s"Obj$i"
+      Triple("d", s"d_chunk${i % 7}", i % 5, s"Subj${i % 40}", "uses", obj)
+    })
+    val mentions = stages.Link.mentions(triples)
+    val mentionVecs = stages.Link.mentionEmbeddings(mentions, new embed.HashEmbedder())
+    val aliases = spark.createDataset(Seq(
+      AliasPair("utils", "util lib", 0.9), AliasPair("obj3", "obj6", 0.9)))
+    val canon = stages.Canonicalize.canonicalMap(mentions, aliases)
+    def key(v: EntityVertex) = (v.name, v.canonicalName, v.tripletPart)
+    val viaBroadcast = stages.Materialize.vertices(triples, mentionVecs, canon)
+      .collect().map(key).toSet
+    val viaPlain = stages.Materialize
+      .vertices(triples, mentionVecs, canon, broadcastCanon = false)
+      .collect().map(key).toSet
+    assert(viaPlain == viaBroadcast)
+    assert(viaPlain.nonEmpty)
+    // and the scale path really dropped the broadcast HINT: with the
+    // auto-broadcast threshold off (the big-data regime, where size
+    // estimates exceed any threshold), no broadcast join remains — a
+    // forced broadcast(canon) would survive the threshold and OOM there
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // full scale-path wiring: the CC map join drops its hint too
+      val canonPlain = stages.Canonicalize.canonicalMap(mentions, aliases,
+        broadcastCC = false)
+      val plan = stages.Materialize
+        .vertices(triples, mentionVecs, canonPlain, broadcastCanon = false)
+        .queryExecution.sparkPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"forced broadcast survived in the non-broadcast vertex plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("MERGE resolves key collisions deterministically in the delta's favor") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftmerge").toString
+    val io = new ParquetTableIO(dir)
+    // old store shape: no tf column (pre-schema-evolution)
+    io.merge(spark, "terms",
+      Seq(("c1", "alpha", "unigram"), ("c2", "beta", "unigram"))
+        .toDF("chunkId", "text", "termType"),
+      Seq("chunkId", "text", "termType"))
+    // re-ingest with the evolved schema: the SAME keys now carry tf —
+    // delta must win deterministically (old rows are null-filled on tf)
+    io.merge(spark, "terms",
+      Seq(("c1", "alpha", "unigram", 3L)).toDF("chunkId", "text", "termType", "tf"),
+      Seq("chunkId", "text", "termType"))
+    val rows = io.read(spark, "terms").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(r.fieldIndex("tf"))) -1L else r.getLong(r.fieldIndex("tf"))))
+      .toSet
+    assert(rows == Set(("c1", "alpha", 3L), ("c2", "beta", -1L)),
+      s"delta did not deterministically repair the collided key: $rows")
+  }
+
   test("incremental LSH ingest links new mentions to existing entities") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftinc").toString
@@ -76,8 +135,7 @@ class IncrementalSkewSuite extends AnyFunSuite {
     assert(io.read(spark, "vertices").filter(col("name") === "batchengine").count() == 1)
 
     // batch 2: near-duplicate mention "batch engine" must be linked to
-    // batch 1's existing entity (alias pair spans batches; rewriting old
-    // edges to the new canonical is a compaction/read-time concern)
+    // batch 1's existing entity (alias pair spans batches)
     val batch2 = Seq(CorpusRow("r", "b.scala", "c2", "scala",
       "Batch engine calls function sortTree."))
     new Pipeline(cfg).materialize(spark.createDataset(batch2), io)
@@ -85,6 +143,28 @@ class IncrementalSkewSuite extends AnyFunSuite {
       .select("a", "b").collect().map(r => Set(r.getString(0), r.getString(1)))
     assert(aliasPairs.contains(Set("batch engine", "batchengine")),
       s"missing cross-batch alias pair, got ${aliasPairs.mkString(", ")}")
+
+    // retroactive canonicalization (pinned semantics): BATCH 1's already
+    // materialized canonical_edges rows must surface under the canonical
+    // name chosen when batch 2's linking merged the entities — compaction
+    // rebuilds canonical_edges from the cumulative base edges + aliases
+    val canonSubjs = io.read(spark, "canonical_edges")
+      .select("subj").collect().map(_.getString(0)).toSet
+    assert(canonSubjs.contains("batch engine"),
+      s"batch-1 edge not remapped to the merged canonical name: $canonSubjs")
+    assert(!canonSubjs.contains("batchengine"),
+      s"stale pre-merge canonical name survived compaction: $canonSubjs")
+    // both batches' facts present under the canonical subject
+    val preds = io.read(spark, "canonical_edges")
+      .filter(col("subj") === "batch engine")
+      .select("pred").collect().map(_.getString(0)).toSet
+    assert(preds.size >= 2, s"expected both batches' predicates, got $preds")
+    // vertices keep mention identity but the canonicalName pointer refreshes
+    val vCanon = io.read(spark, "vertices")
+      .filter(col("name") === "batchengine")
+      .select("canonicalName").collect().map(_.getString(0)).toSeq
+    assert(vCanon == Seq("batch engine"),
+      s"vertex canonicalName not refreshed by compaction: $vCanon")
   }
 
   test("partitioned layout: edge table written under pbucket dirs") {

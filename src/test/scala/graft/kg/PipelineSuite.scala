@@ -122,6 +122,39 @@ class PipelineSuite extends AnyFunSuite {
     assert(canon("alphabeta") == "alphabeta")
   }
 
+  test("LSH band-bucket cap bounds adversarial candidate pairs deterministically") {
+    val s = spark; import s.implicits._
+    // adversarial near-identical-name corpus: a long shared body means
+    // every band's minhash is (almost surely) the shared minimum shingle
+    // hash → one giant bucket per band → quadratic pair blowup uncapped
+    val names = (0 until 120).map(i => f"common_very_long_shared_entity_body_$i%03d")
+    val vecs = Link.mentionEmbeddings(names.toDF("name"), new embed.HashEmbedder())
+    // threshold 0 + huge topK isolates the BLOCKING from the re-score
+    def pairCount(cap: Int): Long =
+      Link.lshAliases(vecs, threshold = 0.0, linkTopK = 100000, maxBucket = cap)
+        .select($"a", $"b").distinct().count()
+    val uncapped = pairCount(100000)
+    val capped = pairCount(64)
+    assert(uncapped > 5000, s"fixture not adversarial enough: $uncapped pairs")
+    assert(capped < uncapped / 2,
+      s"cap did not bound the blowup: $capped vs $uncapped")
+    // deterministic: same input, same cap → identical pair set
+    assert(pairCount(64) == capped)
+  }
+
+  test("normal-corpus linking is unchanged by the default bucket cap") {
+    val s = spark; import s.implicits._
+    val mentions = Link.mentions(
+      new Pipeline(GraftConfig(linkMode = "exact")).run(corpus).triples)
+    val vecs = Link.mentionEmbeddings(mentions, new embed.HashEmbedder())
+    def aliases(cap: Int) =
+      Link.lshAliases(vecs, threshold = 0.85, linkTopK = 10, maxBucket = cap)
+        .collect().map(p => (p.a, p.b)).toSet
+    // default cap (256) vs effectively-uncapped: the real corpus has no
+    // degenerate buckets, so the skew defense must not change the output
+    assert(aliases(256) == aliases(1000000))
+  }
+
   test("connected components merges transitive alias chains") {
     val s = spark; import s.implicits._
     val aliases = spark.createDataset(Seq(

@@ -59,6 +59,61 @@ class RetrievalSuite extends AnyFunSuite {
     assert(math.abs(idfTop.head.getAs[Double]("score") - math.log(4.0)) < 1e-9)
   }
 
+  test("BM25 saturates term frequency where raw TF does not") {
+    val s = spark; import s.implicits._
+    // c0 stuffs the common term ×8; c1 matches BOTH query terms once.
+    // TF ranks c0 first (8 > 2); BM25's k1 saturation caps the stuffed
+    // term near (k1+1)·idf while two distinct matched terms add two
+    // idf contributions — c1 must win.
+    val chunks = spark.createDataset(Seq(
+      Chunk("d", "d_chunk0", 0, "spam " * 8, 8),
+      Chunk("d", "d_chunk1", 1, "spam rareword other five six seven eight", 8),
+      Chunk("d", "d_chunk2", 2, "filler words here padding five six seven", 8),
+      Chunk("d", "d_chunk3", 3, "filler words here padding five six seven", 8)))
+    val terms = (Seq.fill(8)(("d_chunk0", "spam", "unigram")) ++ Seq(
+      ("d_chunk1", "spam", "unigram"), ("d_chunk1", "rareword", "unigram")))
+      .toDF("chunkId", "text", "termType")
+    val tfTop = retrieval.termSearch(terms, chunks, "spam rareword").collect()
+    val bm25Top = retrieval.termSearchBm25(terms, chunks, "spam rareword").collect()
+    assert(tfTop.head.getAs[String]("chunkId") == "d_chunk0", "TF favors stuffing")
+    assert(bm25Top.head.getAs[String]("chunkId") == "d_chunk1",
+      s"BM25 must favor term diversity: ${bm25Top.toSeq}")
+    // hand-computed score for c1 (tf=1 both terms, dl=8=avgdl → len norm 1):
+    // per term: ln(1+(4-df+0.5)/(df+0.5)) · (1·2.2)/(1+1.2); df(spam)=2, df(rare)=1
+    val expected = (math.log(1 + 2.5 / 2.5) + math.log(1 + 3.5 / 1.5)) * 2.2 / 2.2
+    assert(math.abs(bm25Top.head.getAs[Double]("score") - expected) < 1e-9)
+  }
+
+  test("schema-evolved store: null tf rows score as tf=1, never NULL") {
+    val s = spark; import s.implicits._
+    val chunks = spark.createDataset(Seq(
+      Chunk("d", "d_chunk0", 0, "legacy rareword text", 3),
+      Chunk("d", "d_chunk1", 1, "fresh rareword text", 3),
+      // padding chunks keep df < N so the IDF weight stays positive
+      Chunk("d", "d_chunk2", 2, "unrelated filler text", 3),
+      Chunk("d", "d_chunk3", 3, "unrelated filler text", 3)))
+    // a store written pre-tf then merged with an evolved delta: old rows
+    // have tf = null (unionByName null-fill), new rows carry counts
+    val terms = Seq(
+      ("d_chunk0", "rareword", "unigram", None: Option[Long]),
+      ("d_chunk1", "rareword", "unigram", Some(2L)))
+      .toDF("chunkId", "text", "termType", "tf")
+    for (hits <- Seq(
+        retrieval.termSearch(terms, chunks, "rareword"),
+        retrieval.termSearchIdf(terms, chunks, "rareword"),
+        retrieval.termSearchBm25(terms, chunks, "rareword"))) {
+      val rows = hits.collect()
+      assert(rows.map(_.getAs[String]("chunkId")).toSet ==
+        Set("d_chunk0", "d_chunk1"), s"legacy chunk dropped: ${rows.toSeq}")
+      rows.foreach { r =>
+        assert(!r.isNullAt(r.fieldIndex("score")), s"NULL score: $r")
+      }
+      // the null-tf row counts as tf >= 1 → ranks below tf=2, not last
+      val by = rows.map(r => r.getAs[String]("chunkId") -> r.getAs[Double]("score")).toMap
+      assert(by("d_chunk1") > by("d_chunk0") && by("d_chunk0") > 0.0)
+    }
+  }
+
   test("vector search: a chunk's own text embeds closest to itself") {
     val s = spark; import s.implicits._
     val someChunk = result.chunks.head()
