@@ -66,8 +66,12 @@ object ScalingBench {
     // mode exists to measure — each lsh iteration therefore re-runs the
     // whole pipeline (including per-iteration Catalyst planning, noted in
     // BENCH/BASELINE.md; the linking path itself dominates at this size).
-    def lshRun(): Long =
-      new Pipeline(cfg).run(corpus).canonicalEdges.count()
+    def lshRun(): Long = {
+      val r = new Pipeline(cfg).run(corpus)
+      val n = r.canonicalEdges.count()
+      r.cleanup() // release the run's triples cache between iterations
+      n
+    }
     val planned =
       if (mode == "exact") new Pipeline(cfg).run(corpus).edges else null
     val edges = // first execution (JIT warm-up)

@@ -45,7 +45,10 @@ final class Pipeline(
       canonical: Dataset[CanonicalMapping],
       edges: Dataset[RelatesToEdge],
       canonicalEdges: Dataset[RelatesToEdge],
-      vertices: Dataset[EntityVertex])
+      vertices: Dataset[EntityVertex],
+      /** Release caches the run pinned (lsh mode persists the triples
+        * stage — see [[run]]); call after the result is fully consumed. */
+      cleanup: () => Unit = () => ())
 
   /** Build the full lazy DAG from a corpus Dataset. Nothing executes until
     * an action / materialization.
@@ -96,9 +99,23 @@ final class Pipeline(
     val embeddings = Ingest.chunkEmbeddings(chunks, embedder)
     val terms = Terms.terms(chunks, config.removeStopwords)
 
-    val triples = ckpt.stage("triples", "v1", fp) {
+    val triplesRaw = ckpt.stage("triples", "v1", fp) {
       Metrics.observeRows(Triples.triples(chunks, extractor).toDF(), "triples")
     }.as[Triple]
+
+    // lsh mode executes EAGERLY mid-build (the CC size probe drives the
+    // linking DAG) and the final materialization then consumes triples
+    // through two more branches (edge build + mention/canonical map) —
+    // without a cache the chunk/extract chain executes three times per
+    // run. Exact mode stays one fully-lazy DAG (nothing executes twice,
+    // so pinning storage there would be pure overhead).
+    val triples =
+      if (config.linkMode == "lsh")
+        triplesRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else triplesRaw
+    val cleanup: () => Unit =
+      if (config.linkMode == "lsh") () => { triples.unpersist(blocking = false); () }
+      else () => ()
 
     val mentions = Link.mentions(triples)
     val mentionVecs = Link.mentionEmbeddings(mentions, embedder)
@@ -136,7 +153,7 @@ final class Pipeline(
       broadcastCanon = !config.saltedCanonicalJoin)
 
     Result(docs, chunks, embeddings, terms, triples, mentionVecs, aliases,
-      canonical, edges, canonEdges, vertices)
+      canonical, edges, canonEdges, vertices, cleanup)
   }
 
   /** Materialize the graph into MERGE-semantics tables (SURVEY.md §7.4):
@@ -196,6 +213,7 @@ final class Pipeline(
     io.merge(spark, "vertices", verticesPart, Seq("name"), Seq("nbucket"))
     io.merge(spark, "aliases", r.aliases.toDF(), Seq("a", "b"))
     if (existing.isDefined) compact(spark, io)
+    r.cleanup()
     val tableCounts = Seq("chunks", "chunk_embeddings", "terms", "edges",
       "edge_entity_index", "canonical_edges", "vertices", "aliases")
       .map(t => t -> io.read(spark, t).count()).toMap

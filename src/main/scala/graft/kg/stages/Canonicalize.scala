@@ -65,13 +65,22 @@ object Canonicalize {
     * iterative large-star/small-star loop costs O(iterations)
     * driver-synchronous job rounds, which is pure fixed overhead when the
     * graph is small (alias clusters are rare relative to mentions; the
-    * measured lsh pipeline spent ~40 s/run in this serial tail at 1M
-    * docs). Above the threshold — the hub-entity regime the star
-    * algorithm exists for — the distributed loop runs unchanged. */
+    * round-1 measurement showed ~40 s/run of star-loop serial tail on a
+    * SMALL alias graph). Above the threshold — the hub-entity regime the
+    * star algorithm exists for — the distributed loop runs unchanged.
+    *
+    * Threshold calibration (round-3 job-timeline profile): at 2^20 the
+    * 1M-doc lsh bench collected ~10^6 edges and spent ~29 s of a 71 s run
+    * in the DRIVER-SERIAL union-find + result re-upload — serial work
+    * that does not shrink with cores and therefore poisons the N→4N
+    * scaling the north rule gates on. 2^17 edges keeps the local solve
+    * under ~1 s (and the probe collect under ~15 MB) while still catching
+    * the common small-batch case; anything bigger runs distributed, where
+    * the work scales with the cluster. */
   def connectedComponents(
       aliases: Dataset[AliasPair],
       maxIterations: Int = 30,
-      localSolveThreshold: Long = 1L << 20): Dataset[CanonicalMapping] = {
+      localSolveThreshold: Long = 1L << 17): Dataset[CanonicalMapping] = {
     val spark = aliases.sparkSession
     import spark.implicits._
 

@@ -116,12 +116,15 @@ object Link {
     // Buckets over `maxBucket` members are DROPPED whole (the production
     // MinHash-dedup convention: a bucket that big is a degenerate,
     // non-discriminative band), bounding candidate pairs at
-    // buckets · maxBucket² per band. Oversized buckets are by nature few
-    // → broadcast anti-join; the bucket count is partial-aggregable.
-    val oversized = sigs.groupBy($"band", $"mh")
-      .agg(count(lit(1)).as("n")).filter($"n" > maxBucket)
-      .select($"band", $"mh")
-    val pruned = sigs.join(broadcast(oversized), Seq("band", "mh"), "left_anti")
+    // buckets · maxBucket² per band. The count is a window over the SAME
+    // (band, mh) clustering the self-join below shuffles on — one linear
+    // pass, no second computation of the embed/shingle subtree and no
+    // extra exchange (a groupBy+anti-join here would re-execute the
+    // per-mention embedding chain for the build side).
+    val pruned = sigs
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy($"band", $"mh")))
+      .filter($"bsz" <= maxBucket)
+      .drop("bsz")
 
     val pairs = pruned.as("x").join(pruned.as("y"),
         col("x.band") === col("y.band") && col("x.mh") === col("y.mh") &&
