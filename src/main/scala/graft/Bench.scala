@@ -65,9 +65,7 @@ object Bench {
     // the engine. Throughput is therefore measured plan-once/execute-many
     // (the ScalingBench protocol — one plan, hours of execution in
     // production) on a 1M-doc corpus; median of 3 after a warm-up.
-    import spark.implicits._
-    val big = spark
-      .createDataset(kg.fixtures.CorpusGen.generate(4200, 240, seed = 42L).rows)
+    val big = kg.fixtures.CorpusGen.generateDistributed(spark, 4200, 240, seed = 42L)
       .repartition(cpus.toInt * 4).cache()
     val bigDocs = big.count()
     val bigPlanned = new Pipeline(GraftConfig(linkMode = "exact")).run(big).edges

@@ -42,8 +42,10 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    val corpus = spark
-      .createDataset(kg.fixtures.CorpusGen.generate(repos, files, seed = 42L).rows)
+    // distributed generation: the corpus leaf is a Range, not a 1M-row
+    // driver LocalRelation (which every downstream analysis pass re-walks
+    // — profiled at ~50 s/run of driver-serial time, see CorpusGen)
+    val corpus = kg.fixtures.CorpusGen.generateDistributed(spark, repos, files, seed = 42L)
       .repartition(cores * 4)
       .cache()
     val nDocs = corpus.count() // input materialized outside the timed span

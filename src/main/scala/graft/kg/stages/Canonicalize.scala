@@ -69,14 +69,14 @@ object Canonicalize {
     * SMALL alias graph). Above the threshold — the hub-entity regime the
     * star algorithm exists for — the distributed loop runs unchanged.
     *
-    * Threshold calibration (round-3 job-timeline profile): at 2^20 the
-    * 1M-doc lsh bench collected ~10^6 edges and spent ~29 s of a 71 s run
-    * in the DRIVER-SERIAL union-find + result re-upload — serial work
-    * that does not shrink with cores and therefore poisons the N→4N
-    * scaling the north rule gates on. 2^17 edges keeps the local solve
-    * under ~1 s (and the probe collect under ~15 MB) while still catching
-    * the common small-batch case; anything bigger runs distributed, where
-    * the work scales with the cluster. */
+    * Threshold calibration (round-3 measurement): the 1M-doc bench corpus
+    * produces only ~700 alias edges, so the local solve there is
+    * sub-millisecond — the threshold exists purely to bound the DRIVER
+    * cost when the alias graph is genuinely large. 2^17 edges caps the
+    * probe collect at ~tens of MB of string pairs and the union-find at
+    * well under a second; anything bigger runs the distributed star loop,
+    * where the work shrinks with cores instead of serializing on the
+    * driver. */
   def connectedComponents(
       aliases: Dataset[AliasPair],
       maxIterations: Int = 30,

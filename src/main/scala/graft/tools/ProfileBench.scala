@@ -19,7 +19,7 @@ import scala.collection.mutable
 object ProfileBench {
   def main(args: Array[String]): Unit = {
     val nums = args.filter(_.forall(_.isDigit)).map(_.toInt)
-    val mode = args.find(a => a == "lsh" || a == "exact").getOrElse("lsh")
+    val mode = args.find(a => a == "lsh" || a == "exact" || a == "cc").getOrElse("lsh")
     val cores = nums.headOption.getOrElse(32)
     val repos = nums.lift(1).getOrElse(4200)
     val files = nums.lift(2).getOrElse(240)
@@ -35,8 +35,8 @@ object ProfileBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val corpus = spark
-      .createDataset(graft.kg.fixtures.CorpusGen.generate(repos, files, seed = 42L).rows)
+    val corpus = graft.kg.fixtures.CorpusGen
+      .generateDistributed(spark, repos, files, seed = 42L)
       .repartition(cores * 4).cache()
     val nDocs = corpus.count()
 
