@@ -35,6 +35,39 @@ final class GraphRag(
   def ingest(corpus: Dataset[CorpusRow]): Map[String, Long] =
     pipeline.materialize(corpus, io)
 
+  /** Streaming `graphrag process`: corpus rows arriving on a stream are
+    * ingested micro-batch-wise through the SAME incremental pipeline as
+    * [[ingest]] (Structured Streaming `foreachBatch` → materialize), so
+    * each micro-batch links its new mentions against the graph built so
+    * far and the compaction pass keeps canonical names consistent across
+    * batches — the streaming and batch paths are ONE code path, not two
+    * engines (the reference is strictly batch; this is the engine's
+    * continuous-ingest surface).
+    *
+    * Failure semantics: the sink is effectively idempotent — every graph
+    * table MERGEs on its natural key and compaction is a deterministic
+    * function of cumulative state, so a replayed micro-batch (Structured
+    * Streaming's at-least-once `foreachBatch` contract) converges to the
+    * same table state; `checkpointLocation` gives offset-tracking resume.
+    *
+    * @param trigger `AvailableNow` drains what exists then stops (batch
+    *   catch-up); `ProcessingTime` runs continuously. */
+  def ingestStream(
+      corpusStream: Dataset[CorpusRow],
+      checkpointLocation: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    corpusStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[CorpusRow], _: Long) =>
+        // an empty replay/no-op tick must not pay a full pipeline pass
+        if (!batch.isEmpty) { pipeline.materialize(batch, io); () }
+      }
+      .start()
+
   private def chunksDs = {
     import spark.implicits._
     io.read(spark, "chunks").as[Chunk]

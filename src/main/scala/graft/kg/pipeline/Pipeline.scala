@@ -182,11 +182,18 @@ final class Pipeline(
     io.merge(spark, "chunk_embeddings", r.chunkEmbeddings.toDF(), Seq("chunkId"))
     // terms dedup on the MERGE key but KEEP the in-flight multiplicity as
     // a tf column — termSearch's documented score is TF summed per chunk,
-    // which a bare dropDuplicates would silently turn into presence-count
+    // which a bare dropDuplicates would silently turn into presence-count.
+    // Partitioned by text-hash bucket (the inverted-index analogue of the
+    // entity index below): term search filters on a literal term list, so
+    // the scan partition-prunes to ≤ |query terms| of the NumBuckets dirs
+    // instead of reading the full terms table — at 100× the terms table is
+    // the largest table in the store and an unpruned per-query scan of it
+    // would dominate query latency.
     io.merge(spark, "terms",
       r.terms.toDF().groupBy("chunkId", "text", "termType")
-        .agg(count(lit(1)).as("tf")),
-      Seq("chunkId", "text", "termType"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("tbucket", pmod(hash(col("text")), lit(NumBuckets))),
+      Seq("chunkId", "text", "termType"), Seq("tbucket"))
     io.merge(spark, "edges", edgesPart, Seq("subj", "pred", "obj"), Seq("pbucket"))
     // entity-bucketed SECONDARY edge layout: one row per (entity ∈ {subj,
     // obj}, edge), partitioned by entity hash bucket, so the per-entity

@@ -32,6 +32,28 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
       sum(coalesce(col("tf"), lit(1L))).cast("double")
     else count(lit(1)).cast("double")
 
+  /** Partition-prune a MATERIALIZED terms table by the query's term-hash
+    * buckets: the store lays terms out under
+    * `tbucket = pmod(hash(text), NumBuckets)` dirs (see
+    * [[Pipeline.materialize]]), and the bucket ids of a literal term list
+    * fold at plan time — the scan then reads ≤ |query terms| of the
+    * NumBuckets directories. The `isNull` arm keeps rows a pre-tbucket
+    * engine version wrote (schema evolution null-fills them into the
+    * default partition — pruning is an optimization, never a filter).
+    * In-flight frames (no tbucket column) pass through untouched. */
+  private def pruneTermBuckets(terms: DataFrame, qTerms: Seq[String]): DataFrame =
+    if (!terms.columns.contains("tbucket")) terms
+    else {
+      val spark = terms.sparkSession
+      import spark.implicits._
+      // bucket ids via the SAME Murmur3 `hash` expression the writer used,
+      // folded over a LocalRelation (no job), as relationshipSearchIndexed
+      val buckets = spark.createDataset(qTerms).toDF("t")
+        .select(pmod(hash(col("t")), lit(Pipeline.NumBuckets)).as("b"))
+        .collect().map(_.getInt(0)).distinct.toSeq
+      terms.filter(col("tbucket").isin(buckets: _*) || col("tbucket").isNull)
+    }
+
   /** A1 term search: query terms → term-edge equi-join → SUM per chunk →
     * top-k (`retrieval.py:193-229`). `terms` = (chunkId, text, termType);
     * the query-term list is tiny → broadcast. */
@@ -43,7 +65,7 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
     if (qTerms.isEmpty) // full result schema, zero rows
       return chunks.toDF().select($"chunkId", lit(0.0).as("score"), $"text").limit(0)
     val tfCol = tfScore(terms)
-    terms
+    pruneTermBuckets(terms, qTerms)
       .filter($"termType" === "unigram" && $"text".isin(qTerms: _*))
       .groupBy($"chunkId")
       .agg(tfCol.as("score"))
@@ -67,7 +89,8 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
     if (qTerms.isEmpty)
       return chunks.toDF().select($"chunkId", lit(0.0).as("score"), $"text").limit(0)
     val tfCol = tfScore(terms)
-    val hits = terms.filter($"termType" === "unigram" && $"text".isin(qTerms: _*))
+    val hits = pruneTermBuckets(terms, qTerms)
+      .filter($"termType" === "unigram" && $"text".isin(qTerms: _*))
     val tf = hits.groupBy($"chunkId", $"text").agg(tfCol.as("tf"))
     val dfreq = tf.groupBy($"text")
       .agg(count(lit(1)).cast("double").as("df")) // tf rows are distinct (chunk, term)
@@ -95,7 +118,8 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
     val qTerms = Tokens.normalize(query).filterNot(Stopwords.english.contains).distinct
     if (qTerms.isEmpty)
       return chunks.toDF().select($"chunkId", lit(0.0).as("score"), $"text").limit(0)
-    val hits = terms.filter($"termType" === "unigram" && $"text".isin(qTerms: _*))
+    val hits = pruneTermBuckets(terms, qTerms)
+      .filter($"termType" === "unigram" && $"text".isin(qTerms: _*))
     val tf = hits.groupBy($"chunkId", $"text").agg(tfScore(terms).as("tf"))
     val dfreq = tf.groupBy($"text")
       .agg(count(lit(1)).cast("double").as("df")) // tf rows are distinct (chunk, term)

@@ -162,18 +162,39 @@ object Canonicalize {
     // the first barrier materialized a checkpoint copy — the cache is dead
     distinctEdges.unpersist(blocking = false)
 
-    var converged = edges.isEmpty
+    // cheap order-independent edge-set signature: (count, xor of row
+    // hashes) — a single-pass partial-aggregable scan of the just-
+    // checkpointed set (no shuffle, no join). bit_xor instead of sum:
+    // overflow-free under ANSI mode, and the sets are distinct so xor
+    // never self-cancels a duplicate. Used as a convergence FAST-PATH:
+    // unequal signatures prove non-convergence outright; equal signatures
+    // (possible 2^-64 collision) are CONFIRMED by the exact symmetric-
+    // difference scan — which therefore runs once per CC solve (at the
+    // fixpoint) instead of once per iteration.
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var edgesSig = signature(edges)
+    var converged = edgesSig._1 == 0L
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val (next, nextCkpt) = barrierTracked(smallStar(largeStar(edges)))
-      // fixpoint: symmetric difference empty — ONE action per iteration
-      // (union of both exceptAll sides under a single limit-1 scan)
-      converged = next.exceptAll(edges)
-        .union(edges.exceptAll(next))
-        .isEmpty
+      // TWO large/small-star rounds per lineage barrier: the star rounds
+      // are cheap wide transforms, the barrier (checkpoint write + driver
+      // round trip) is the per-iteration fixed cost — unrolling halves the
+      // barrier count; at the fixpoint an extra round is the identity, so
+      // overshooting by one round never changes the result
+      val (next, nextCkpt) =
+        barrierTracked(smallStar(largeStar(smallStar(largeStar(edges)))))
+      val nextSig = signature(next)
+      converged = nextSig == edgesSig &&
+        next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
       dropCheckpointDirs(edgesCkpt) // `next` is materialized; prior copy dead
       edges = next
       edgesCkpt = nextCkpt
+      edgesSig = nextSig
       iter += 1
     }
     // the FINAL iteration's checkpoint stays: `edges` feeds the lazy

@@ -85,6 +85,42 @@ class GraphRagSuite extends AnyFunSuite {
       s"ebucket partition filter missing; filters = $pf")
   }
 
+  test("term search partition-prunes the tbucket layout and matches unpruned") {
+    val subj = gen.truth.map(_._1).find(!_.contains(' ')).get
+    val q = s"Tell me about ${subj.capitalize}"
+    val io = new pipeline.ParquetTableIO(root)
+    val retrieval = new retrieve.Retrieval(new embed.HashEmbedder())
+    val s = spark; import s.implicits._
+    val chunksDs = io.read(spark, "chunks").as[Chunk]
+    val stored = io.read(spark, "terms")
+    assert(stored.columns.contains("tbucket"), "terms table missing tbucket layout")
+    val pruned = retrieval.termSearch(stored, chunksDs, q)
+    // dropping the layout column = the unpruned legacy path; same answer
+    val unpruned = retrieval.termSearch(stored.drop("tbucket"), chunksDs, q)
+    assert(pruned.collect().map(_.toString).toSeq ==
+      unpruned.collect().map(_.toString).toSeq)
+    assert(pruned.count() > 0)
+    // and the scan must carry a tbucket partition filter (literal IN),
+    // reading a bounded subset of the 32 bucket dirs
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = pruned.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    val pf = scans.flatMap(_.partitionFilters).map(_.toString)
+    assert(pf.exists(_.contains("tbucket")),
+      s"tbucket partition filter missing; filters = $pf")
+    // idf + bm25 rankings agree with their unpruned selves too
+    Seq("idf", "bm25").foreach { rank =>
+      val p = (if (rank == "idf") retrieval.termSearchIdf(stored, chunksDs, q)
+               else retrieval.termSearchBm25(stored, chunksDs, q))
+        .collect().map(_.toString).toSeq
+      val u = (if (rank == "idf") retrieval.termSearchIdf(stored.drop("tbucket"), chunksDs, q)
+               else retrieval.termSearchBm25(stored.drop("tbucket"), chunksDs, q))
+        .collect().map(_.toString).toSeq
+      assert(p == u, s"$rank diverged under pruning")
+    }
+  }
+
   test("bm25 ranking through the facade returns saturated scores") {
     val subj = gen.truth.map(_._1).find(!_.contains(' ')).get
     val res = engine.query(s"Tell me about ${subj.capitalize}",
