@@ -87,14 +87,21 @@ final class GraphRag(
     *   DF-weighted shape a Lucene-like fulltext ranking carries.
     * @param ranking overrides `idfWeighting` when non-empty: "tf", "idf",
     *   or "bm25" (k1/b-saturated [[Retrieval.termSearchBm25]] — the full
-    *   Lucene-shaped score). */
+    *   Lucene-shaped score).
+    * @param vectorMode "exact" (default — full-scan cosine, the parity
+    *   baseline) or "ann" — the LSH-bucketed `chunk_vec_index` layout
+    *   ([[Retrieval.vectorSearchAnn]]): partition-pruned candidate lookup
+    *   + exact re-score, the scale path mirroring the reference's own
+    *   approximate Qdrant HNSW search. Falls back to exact on stores
+    *   written before the index existed. */
   def query(
       q: String,
       topK: Int = config.topK,
       withContext: Boolean = false,
       includeTriplets: Boolean = true,
       idfWeighting: Boolean = false,
-      ranking: String = ""): QueryResult = {
+      ranking: String = "",
+      vectorMode: String = "exact"): QueryResult = {
     val terms = io.read(spark, "terms")
     val rank = if (ranking.nonEmpty) ranking else if (idfWeighting) "idf" else "tf"
     def termHits = rank match {
@@ -102,6 +109,11 @@ final class GraphRag(
       case "bm25" => retrieval.termSearchBm25(terms, chunksDs, q, topK)
       case _      => retrieval.termSearch(terms, chunksDs, q, topK)
     }
+    val vectorHits =
+      if (vectorMode == "ann" && io.exists(spark, "chunk_vec_index"))
+        Some(retrieval.vectorSearchAnn(
+          io.read(spark, "chunk_vec_index"), chunksDs, q, topK))
+      else None
     val hits =
       if (withContext) {
         // §3.3: graph-only retrieval + ±contextSize range-join expansion
@@ -109,7 +121,7 @@ final class GraphRag(
         retrieval.withContext(graphHits, chunksDs, config.contextSize)
       } else {
         retrieval.hybridSearch(terms, chunksDs, embeddingsDs, q, topK,
-          termHits = Some(termHits))
+          termHits = Some(termHits), vectorHits = vectorHits)
       }
     val triplets =
       if (includeTriplets)
@@ -127,8 +139,8 @@ final class GraphRag(
   /** `graphrag stats`: table row counts (the reference's node/rel
     * counts, `cli/main.py:90-104`). */
   def stats(): Map[String, Long] =
-    Seq("chunks", "chunk_embeddings", "terms", "edges", "edge_entity_index",
-      "canonical_edges", "vertices", "aliases")
+    Seq("chunks", "chunk_embeddings", "chunk_vec_index", "terms", "edges",
+      "edge_entity_index", "canonical_edges", "vertices", "aliases")
       .filter(io.exists(spark, _))
       .map(t => t -> io.read(spark, t).count()).toMap
 
@@ -137,8 +149,8 @@ final class GraphRag(
     * limit(0) of the table itself — overwriting a path from a plan that
     * reads the same path is undefined). */
   def reset(): Unit =
-    Seq("chunks", "chunk_embeddings", "terms", "edges", "edge_entity_index",
-      "canonical_edges", "vertices", "aliases").foreach { t =>
+    Seq("chunks", "chunk_embeddings", "chunk_vec_index", "terms", "edges",
+      "edge_entity_index", "canonical_edges", "vertices", "aliases").foreach { t =>
       if (io.exists(spark, t)) {
         val schema = io.read(spark, t).schema
         val empty = spark.createDataFrame(

@@ -180,6 +180,13 @@ final class Pipeline(
       .withColumn("nbucket", pmod(hash(col("name")), lit(NumBuckets)))
     io.merge(spark, "chunks", r.chunks.toDF(), Seq("chunkId"))
     io.merge(spark, "chunk_embeddings", r.chunkEmbeddings.toDF(), Seq("chunkId"))
+    // ANN scale path for O1 vector search: LSH sign-sketch layout of the
+    // chunk embeddings under l=<table>/vbucket=<bucket> partition dirs
+    // (Retrieval.vectorSearchAnn prunes to the query's probe buckets
+    // instead of scanning every vector; see retrieve/VectorIndex.scala)
+    io.merge(spark, "chunk_vec_index",
+      graft.kg.retrieve.VectorIndex.layout(r.chunkEmbeddings.toDF(), embedder.dim),
+      Seq("chunkId", "l"), Seq("l", "vbucket"))
     // terms dedup on the MERGE key but KEEP the in-flight multiplicity as
     // a tf column — termSearch's documented score is TF summed per chunk,
     // which a bare dropDuplicates would silently turn into presence-count.
@@ -221,8 +228,9 @@ final class Pipeline(
     io.merge(spark, "aliases", r.aliases.toDF(), Seq("a", "b"))
     if (existing.isDefined) compact(spark, io)
     r.cleanup()
-    val tableCounts = Seq("chunks", "chunk_embeddings", "terms", "edges",
-      "edge_entity_index", "canonical_edges", "vertices", "aliases")
+    val tableCounts = Seq("chunks", "chunk_embeddings", "chunk_vec_index",
+      "terms", "edges", "edge_entity_index", "canonical_edges", "vertices",
+      "aliases")
       .map(t => t -> io.read(spark, t).count()).toMap
     // fold in the observed in-flight stage counters (Metrics piggyback on
     // the actions above — no extra job)

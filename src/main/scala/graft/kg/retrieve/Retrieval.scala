@@ -159,6 +159,34 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
       .limit(topK)
   }
 
+  /** O1 vector search, ANN scale path: the query's LSH sign-sketch
+    * buckets (computed driver-side, [[VectorIndex.queryBuckets]]) become a
+    * LITERAL disjunction over the `(l, vbucket)` PARTITION columns of the
+    * `chunk_vec_index` layout — the scan partition-prunes to
+    * L·(1+probes) of the L·2^K directories instead of reading every chunk
+    * vector ([[vectorSearch]] is the exact full-scan baseline; the
+    * reference's Qdrant search is itself approximate HNSW,
+    * `retrieval.py:107-161`). Candidates are re-scored with the EXACT
+    * native dot product, so precision is 1.0 — only recall is
+    * approximate. */
+  def vectorSearchAnn(vecIndex: DataFrame, chunks: Dataset[Chunk],
+      query: String, topK: Int = config.topK, probeRadius: Int = 1): DataFrame = {
+    val qv = embedder.embedQuery(query)
+    val pairs = VectorIndex.queryBuckets(qv, probeRadius)
+    val pred = pairs
+      .map { case (l, b) => col("l") === lit(l) && col("vbucket") === lit(b) }
+      .reduce(_ || _)
+    vecIndex.filter(pred)
+      // a chunk colliding with the query in several tables is one candidate
+      .dropDuplicates("chunkId")
+      .select(col("chunkId"),
+        graft.functions.VectorFunctions.dot_product(col("vec"), typedLit(qv))
+          .as("score"))
+      .join(chunks.toDF().select(col("chunkId"), col("text")), Seq("chunkId"))
+      .orderBy(col("score").desc, col("chunkId"))
+      .limit(topK)
+  }
+
   /** A3 min-max normalization with all-equal → 1.0
     * (`retrieval.py:550-569`), over a (chunkId, score, text) frame.
     * Global min/max via partial-aggregable `agg` + broadcast crossJoin
@@ -181,9 +209,10 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
   def hybridSearch(terms: DataFrame, chunks: Dataset[Chunk],
       embeddings: Dataset[ChunkEmbedding], query: String,
       topK: Int = config.topK, vectorWeight: Double = config.vectorWeight,
-      termHits: Option[DataFrame] = None): DataFrame = {
+      termHits: Option[DataFrame] = None,
+      vectorHits: Option[DataFrame] = None): DataFrame = {
     val v = minMaxNormalize(
-      vectorSearch(embeddings, chunks, query, topK)).as("v")
+      vectorHits.getOrElse(vectorSearch(embeddings, chunks, query, topK))).as("v")
     val g = minMaxNormalize(
       termHits.getOrElse(termSearch(terms, chunks, query, topK))).as("g")
     v.select(col("chunkId"), col("score").as("vscore"), col("text").as("vtext"))

@@ -133,6 +133,46 @@ class GraphRagSuite extends AnyFunSuite {
     })
   }
 
+  test("ann vector search prunes the vbucket layout and recalls the exact top-k") {
+    val s = spark; import s.implicits._
+    val io = new pipeline.ParquetTableIO(root)
+    val retrieval = new retrieve.Retrieval(new embed.HashEmbedder())
+    val chunksDs = io.read(spark, "chunks").as[Chunk]
+    // a query close to real content: a stored chunk's own text
+    val q = chunksDs.orderBy("chunkId").head().text
+    val k = 10
+    val exact = retrieval.vectorSearch(
+      io.read(spark, "chunk_embeddings").as[ChunkEmbedding], chunksDs, q, k)
+      .select("chunkId").collect().map(_.getString(0)).toSet
+    val annDf = retrieval.vectorSearchAnn(
+      io.read(spark, "chunk_vec_index"), chunksDs, q, k)
+    val ann = annDf.select("chunkId").collect().map(_.getString(0)).toSet
+    assert(ann.nonEmpty, "ann search returned nothing")
+    val recall = (ann intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@$k = $recall (ann=$ann exact=$exact)")
+    // the scan must partition-prune on the literal (l, vbucket) sketch
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = annDf.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val pf = scans.flatMap(_.partitionFilters).map(_.toString)
+    assert(pf.exists(p => p.contains("vbucket")),
+      s"vbucket partition filter missing; filters = $pf")
+    // every candidate partition subset must be a strict subset of the
+    // L * 2^K layout (bounded read amplification)
+    val readParts = scans.map(_.relation.location.listFiles(
+      scans.head.partitionFilters, Nil).size).sum
+    val totalParts = retrieve.VectorIndex.NumTables *
+      (1 << retrieve.VectorIndex.BitsPerTable)
+    assert(readParts <= retrieve.VectorIndex.NumTables *
+      (1 + retrieve.VectorIndex.BitsPerTable),
+      s"read $readParts partitions of $totalParts — pruning not bounded")
+    // and through the facade
+    val res = engine.query(q, includeTriplets = false, vectorMode = "ann")
+    assert(res.chunks.collect().nonEmpty)
+  }
+
   test("re-ingest is idempotent; stats stable; reset truncates") {
     val before = engine.stats()
     engine.ingest(corpus)

@@ -13,8 +13,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingIngestSuite extends AnyFunSuite {
   lazy val spark = SparkSessionFixture.spark
 
-  private def tables = Seq("chunks", "chunk_embeddings", "terms", "edges",
-    "edge_entity_index", "canonical_edges", "vertices", "aliases")
+  private def tables = Seq("chunks", "chunk_embeddings", "chunk_vec_index",
+    "terms", "edges", "edge_entity_index", "canonical_edges", "vertices",
+    "aliases")
 
   private def tableState(io: ParquetTableIO): Map[String, Set[String]] =
     tables.map { t =>
