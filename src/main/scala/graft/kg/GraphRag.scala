@@ -150,7 +150,8 @@ final class GraphRag(
     * reads the same path is undefined). */
   def reset(): Unit =
     Seq("chunks", "chunk_embeddings", "chunk_vec_index", "terms", "edges",
-      "edge_entity_index", "canonical_edges", "vertices", "aliases").foreach { t =>
+      "edge_entity_index", "canonical_edges", "canonical_map", "vertices",
+      "aliases").foreach { t =>
       if (io.exists(spark, t)) {
         val schema = io.read(spark, t).schema
         val empty = spark.createDataFrame(

@@ -114,4 +114,12 @@ final case class GraftConfig(
       * non-discriminative — bounds the banded self-join's candidate count
       * deterministically on adversarial near-identical-name corpora; see
       * [[graft.kg.stages.Link.lshAliases]]. */
-    lshMaxBucket: Int = 256)
+    lshMaxBucket: Int = 256,
+    /** Incremental-batch compaction strategy: false (default) = DELTA
+      * compaction — only the canonical-edge partitions and vertex
+      * partitions touched by names whose canonical mapping actually
+      * changed are rewritten; true = rebuild the full canonical_edges /
+      * vertices tables every batch (the reference semantics both paths
+      * must equal — kept for the equivalence test and as a recovery
+      * path). See [[graft.kg.pipeline.Pipeline]]`.compactDelta`. */
+    fullCompaction: Boolean = false)

@@ -25,6 +25,15 @@ trait GraphTableIO extends Serializable {
     * Must be safe when `df`'s plan READS the table being replaced. */
   def overwrite(spark: SparkSession, table: String, df: DataFrame,
       partitionCols: Seq[String] = Nil): Unit
+  /** Replace ONLY the listed `partitionCol = <value>` partitions of
+    * `table` with `df`'s rows (which must all belong to those partitions —
+    * a listed partition absent from `df` is truncated). The delta-
+    * compaction write path: production = Iceberg
+    * `overwritePartitions`/dynamic partition overwrite; everything
+    * outside the listed partitions is untouched on storage. Safe when
+    * `df` reads the table being modified. */
+  def overwritePartitions(spark: SparkSession, table: String, df: DataFrame,
+      partitionCol: String, partitions: Seq[Int]): Unit
 }
 
 /** Parquet-backed sandbox impl rooted at `root`. A production impl would
@@ -66,6 +75,25 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
   def overwrite(spark: SparkSession, table: String, df: DataFrame,
       partitionCols: Seq[String] = Nil): Unit =
     writeSwap(spark, table, df, partitionCols)
+
+  def overwritePartitions(spark: SparkSession, table: String, df: DataFrame,
+      partitionCol: String, partitions: Seq[Int]): Unit = {
+    // stage the replacement partitions, then swap each listed dir — the
+    // source plan may read the live table, so nothing is deleted until
+    // the staged write is complete
+    val tmp = path(table) + "__tmpparts"
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    partitions.distinct.foreach { v =>
+      val dirName = s"$partitionCol=$v"
+      val dst = new org.apache.hadoop.fs.Path(path(table), dirName)
+      val src = new org.apache.hadoop.fs.Path(tmp, dirName)
+      fs.delete(dst, true) // listed partition absent from df ⇒ truncated
+      if (fs.exists(src)) fs.rename(src, dst)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
 
   /** Write via temp dir then swap — the source plan may read the table
     * being replaced (self-merge, compaction), so a direct overwrite would

@@ -215,18 +215,24 @@ final class Pipeline(
       .withColumn("ebucket", pmod(hash(col("entity")), lit(NumBuckets)))
     io.merge(spark, "edge_entity_index", edgeIndexDelta,
       Seq("entity", "subj", "pred", "obj"), Seq("ebucket"))
-    if (existing.isEmpty) {
-      // fresh store: the batch-local canonical edges ARE globally
-      // consistent; incremental batches instead rebuild the table in
-      // compact() below, so this merge would be dead work there
-      val canonEdgesPart = r.canonicalEdges.toDF()
-        .withColumn("pbucket", pmod(hash(col("pred")), lit(NumBuckets)))
-      io.merge(spark, "canonical_edges", canonEdgesPart,
-        Seq("subj", "pred", "obj"), Seq("pbucket"))
-    }
+    // the batch-local canonical edges are computed under the CUMULATIVE
+    // map (incremental linking feeds the existing entity set into the
+    // alias universe), so they merge directly; what a later batch's
+    // linking can invalidate is PRIOR rows — the compaction below fixes
+    // exactly those (delta mode: only the partitions they live in)
+    val canonEdgesPart = r.canonicalEdges.toDF()
+      .withColumn("pbucket", pmod(hash(col("pred")), lit(NumBuckets)))
+    io.merge(spark, "canonical_edges", canonEdgesPart,
+      Seq("subj", "pred", "obj"), Seq("pbucket"))
     io.merge(spark, "vertices", verticesPart, Seq("name"), Seq("nbucket"))
     io.merge(spark, "aliases", r.aliases.toDF(), Seq("a", "b"))
-    if (existing.isDefined) compact(spark, io)
+    if (existing.isEmpty) {
+      // the canonical-map table (CC output: LINKED names only, name →
+      // canonicalName) seeds the next batch's delta compaction
+      io.overwrite(spark, "canonical_map",
+        r.canonical.toDF().filter(col("name") =!= col("canonicalName")))
+    } else if (config.fullCompaction) compact(spark, io)
+    else compactDelta(spark, io)
     r.cleanup()
     val tableCounts = Seq("chunks", "chunk_embeddings", "chunk_vec_index",
       "terms", "edges", "edge_entity_index", "canonical_edges", "vertices",
@@ -275,5 +281,109 @@ final class Pipeline(
         coalesce(col("canonicalName"), col("name")).as("canonicalName"),
         col("vec"), col("tripletPart"), col("nbucket"))
     io.overwrite(spark, "vertices", refreshed, Seq("nbucket"))
+    io.overwrite(spark, "canonical_map",
+      canonAll.toDF().filter(col("name") =!= col("canonicalName")))
+  }
+
+  /** Partition-selective compaction — the 10^12-scale form of [[compact]].
+    *
+    * A full rebuild remaps and REWRITES every canonical edge and vertex
+    * after every incremental batch, even though a batch's linking usually
+    * merges only a handful of components with prior state. Delta
+    * compaction diffs the stored canonical map (`canonical_map`, the CC
+    * output over the cumulative alias set as of the previous batch)
+    * against the new one and touches only what that diff reaches:
+    *
+    *  1. `changed` = names whose canonical mapping differs (small — the
+    *     merged components only).
+    *  2. Affected canonical-edge PARTITIONS = pbuckets of the old and new
+    *     canonical predicate images of base edges touching a changed name.
+    *     Those buckets are rebuilt exactly (from every base edge whose new
+    *     canonical pred lands there — affected or not, so surviving rows
+    *     are regenerated, stale images vanish, and cross-bucket moves
+    *     land) and swapped in via [[GraphTableIO.overwritePartitions]];
+    *     every other partition is untouched on storage.
+    *  3. Affected vertex partitions = nbuckets of the changed names; only
+    *     those rewrite, with the canonicalName pointer coalesced to the
+    *     new map.
+    *
+    * Cost: two broadcast-join map-only passes over the base edge table
+    * (no shuffle) + a shuffle/write of ONLY the affected partition subset
+    * — vs the full rebuild's global shuffle + full-table rewrite. A batch
+    * that links nothing across batches (`changed` empty) pays two small
+    * scans and writes nothing. Equivalence with [[compact]] is asserted
+    * table-for-table in CompactionSuite. */
+  private def compactDelta(spark: SparkSession, io: GraphTableIO): Unit = {
+    import Pipeline.NumBuckets
+    import spark.implicits._
+    val allAliases = io.read(spark, "aliases").as[AliasPair]
+    // CC over the cumulative alias set: LINKED names only (non-identity).
+    // Small relative to the mention vocabulary — localCheckpoint pins it
+    // (it is read several times below and canonical_map is overwritten
+    // under its own scan otherwise).
+    val newCC = Canonicalize.connectedComponents(allAliases).toDF()
+      .localCheckpoint()
+    val oldCC =
+      if (io.exists(spark, "canonical_map")) io.read(spark, "canonical_map")
+      else newCC.limit(0)
+    val changed = oldCC.select($"name", $"canonicalName".as("oldC"))
+      .join(newCC.select($"name", $"canonicalName".as("newC")), Seq("name"), "full_outer")
+      .filter(!(coalesce($"oldC", $"name") <=> coalesce($"newC", $"name")))
+      .select($"name",
+        coalesce($"oldC", $"name").as("oldC"),
+        coalesce($"newC", $"name").as("newC"))
+      .localCheckpoint()
+    if (!changed.isEmpty) {
+      val base = io.read(spark, "edges")
+        .select("subj", "pred", "obj", "label", "sourceChunkId")
+      val mark = broadcast(changed.select($"name"))
+      // map-only pass 1: base edges touching any changed name
+      def touched(c: String) = col(s"t_$c").isNotNull
+      val affected = Seq("subj", "pred", "obj").foldLeft(base) { (df, c) =>
+        df.join(mark.select($"name".as(c), lit(1).as(s"t_$c")), Seq(c), "left")
+      }.filter(touched("subj") || touched("pred") || touched("obj"))
+      // affected target partitions: old AND new canonical images of the
+      // affected predicates decide where stale rows live / new rows land
+      val oldMapP = broadcast(oldCC.select($"name".as("pred"), $"canonicalName".as("oc")))
+      val newMapP = broadcast(newCC.select($"name".as("pred"), $"canonicalName".as("nc")))
+      val buckets = affected.select($"pred")
+        .join(oldMapP, Seq("pred"), "left").join(newMapP, Seq("pred"), "left")
+        .select(explode(array(
+          pmod(hash(coalesce($"oc", $"pred")), lit(NumBuckets)),
+          pmod(hash(coalesce($"nc", $"pred")), lit(NumBuckets)))).as("b"))
+        .distinct().as[Int].collect().toSeq // ≤ NumBuckets values
+      // map-only pass 2: EVERY base edge whose new canonical pred lands in
+      // an affected bucket (rebuild source — regenerates surviving rows)
+      val rebuildSource = base.join(newMapP, Seq("pred"), "left")
+        .filter(pmod(hash(coalesce($"nc", $"pred")), lit(NumBuckets))
+          .isin(buckets: _*))
+        .drop("nc").as[RelatesToEdge]
+      // identity-complete the map for exactly the rebuild subset's names
+      // (canonicalEdges' salted path requires identity rows present)
+      val names = rebuildSource.toDF()
+        .select(explode(array($"subj", $"pred", $"obj")).as("name")).distinct()
+      val canonForRebuild = names
+        .join(newCC.select($"name", $"canonicalName"), Seq("name"), "left")
+        .select($"name", coalesce($"canonicalName", $"name").as("canonicalName"))
+        .as[CanonicalMapping]
+      val newContent = Materialize
+        .canonicalEdges(rebuildSource, canonForRebuild,
+          salted = config.saltedCanonicalJoin)
+        .toDF().withColumn("pbucket", pmod(hash($"pred"), lit(NumBuckets)))
+      io.overwritePartitions(spark, "canonical_edges", newContent,
+        "pbucket", buckets)
+      // vertex pointer refresh: only partitions holding a changed name
+      val nbuckets = changed
+        .select(pmod(hash($"name"), lit(NumBuckets)).as("b"))
+        .distinct().as[Int].collect().toSeq
+      val refreshed = io.read(spark, "vertices")
+        .filter($"nbucket".isin(nbuckets: _*)) // partition-pruned read
+        .join(broadcast(changed.select($"name", $"newC")), Seq("name"), "left")
+        .withColumn("canonicalName", coalesce($"newC", $"canonicalName"))
+        .drop("newC")
+        .select($"name", $"canonicalName", $"vec", $"tripletPart", $"nbucket")
+      io.overwritePartitions(spark, "vertices", refreshed, "nbucket", nbuckets)
+    }
+    io.overwrite(spark, "canonical_map", newCC)
   }
 }
