@@ -69,6 +69,16 @@ object Queries {
       new graft.kg.retrieve.Retrieval(new graft.kg.embed.HashEmbedder())
         .relationshipSearch(r.edges.toDF(), "What does Utils use?")
     }),
+    "kg_vector_ann" -> ((s: SparkSession, dir: String) => {
+      // ANN vector search over the in-flight sign-sketch layout — checked
+      // against the independent straight-line KgOracle.vectorAnn spec
+      val r = kgResult(s, dir, "exact")
+      val emb = new graft.kg.embed.HashEmbedder()
+      val idx = graft.kg.retrieve.VectorIndex.layout(
+        r.chunkEmbeddings.toDF(), emb.dim)
+      new graft.kg.retrieve.Retrieval(emb)
+        .vectorSearchAnn(idx, r.chunks, "utils imports module parseTree")
+    }),
     "kg_canonical_lsh" -> ((s: SparkSession, dir: String) => {
       // the reference's 0.96 cosine threshold is calibrated to E5
       // embeddings (triplets.py:260); the deterministic hash embedder

@@ -301,6 +301,43 @@ object KgOracle {
         .take(topK * math.max(entities.size, 1))
     }
 
+    /** ANN vector search expectation — straight-line reimplementation of
+      * the sign-sketch spec (weight(pid, i) = +1 iff the first hex digit
+      * of md5("<pid>_<i>") is odd; L tables × K bits; query probes its
+      * sketch plus every Hamming-1 bucket; candidates re-scored exact):
+      * deliberately independent of `graft.kg.retrieve.VectorIndex`. */
+    def vectorAnn(query: String, topK: Int = 10, probeRadius: Int = 1,
+        nTables: Int = 4, bits: Int = 6): Vector[(String, Double, String)] = {
+      val qv = embedder.embedQuery(query)
+      val dim = qv.length
+      def planeW(pid: Int): Array[Float] = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        Array.tabulate(dim) { i =>
+          val b0 = md.digest(s"${pid}_$i".getBytes("UTF-8"))(0)
+          if ((((b0 >> 4) & 0xf) % 2) == 1) 1.0f else -1.0f
+        }
+      }
+      val planes = Vector.tabulate(nTables * bits)(planeW)
+      def sketch(v: Array[Float], l: Int): Int =
+        (0 until bits).map { p =>
+          if (Embedder.dot(v, planes(l * bits + p)) > 0) 1 << p else 0
+        }.sum
+      val probed: Set[(Int, Int)] = (0 until nTables).flatMap { l =>
+        val base = sketch(qv, l)
+        val flips =
+          if (probeRadius >= 1) (0 until bits).map(p => base ^ (1 << p))
+          else Seq.empty
+        (base +: flips).distinct.map(b => (l, b))
+      }.toSet
+      chunks
+        .filter(c => (0 until nTables)
+          .exists(l => probed.contains((l, sketch(chunkVecs(c.chunkId), l)))))
+        .map(c => (c.chunkId, Embedder.dot(chunkVecs(c.chunkId), qv)))
+        .sortBy { case (cid, sc) => (-sc, cid) }
+        .take(topK)
+        .map { case (cid, sc) => (cid, sc, chunkText(cid)) }
+    }
+
     // ---- LSH canonicalization expectation ----
 
     /** Char-3-gram shingle set with sentinels (blocking feature space). */
@@ -405,6 +442,8 @@ object KgOracle {
     put("kg_relationship_search",
       e.relationshipSearch("What does Utils use?")
         .toDF("subj", "pred", "obj", "label", "sourceChunkId", "entity"))
+    put("kg_vector_ann",
+      e.vectorAnn("utils imports module parseTree").toDF("chunkId", "score", "text"))
   }
 
   /** Oracle SQL for the kg_* family: read the expected parquet back.
@@ -425,5 +464,7 @@ object KgOracle {
     "kg_context_search" ->
       "SELECT * FROM read_parquet('{OUT}/_expected/kg_context_search/*.parquet') ORDER BY score DESC, docId, \"index\"",
     "kg_relationship_search" ->
-      "SELECT * FROM read_parquet('{OUT}/_expected/kg_relationship_search/*.parquet') ORDER BY entity, subj, pred, obj")
+      "SELECT * FROM read_parquet('{OUT}/_expected/kg_relationship_search/*.parquet') ORDER BY entity, subj, pred, obj",
+    "kg_vector_ann" ->
+      "SELECT * FROM read_parquet('{OUT}/_expected/kg_vector_ann/*.parquet') ORDER BY score DESC, chunkId")
 }
