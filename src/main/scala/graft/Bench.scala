@@ -75,6 +75,30 @@ object Bench {
     results += "kg_throughput_1m_exec" -> bigSec
     big.unpersist(blocking = false)
 
+    // Query-side latency over a MATERIALIZED store (the pruned layouts'
+    // payoff surface): one ingest, then the facade's retrieval paths —
+    // hybrid with exact vector scan, hybrid with the ANN sketch index,
+    // and the entity-indexed relationship lookup.
+    {
+      val storeRoot = java.nio.file.Files
+        .createTempDirectory("graft_bench_store").toString
+      val cfg = GraftConfig(linkMode = "lsh", linkThreshold = 0.85)
+      val rag = new graft.kg.GraphRag(spark,
+        new graft.kg.pipeline.ParquetTableIO(storeRoot), cfg)
+      rag.ingest(corpus)
+      val q = "utils imports module parseTree"
+      results += "kg_query_hybrid_exact" -> time {
+        rag.query(q, includeTriplets = false).chunks.count()
+      }
+      results += "kg_query_hybrid_ann" -> time {
+        rag.query(q, includeTriplets = false, vectorMode = "ann").chunks.count()
+      }
+      results += "kg_query_relationship_indexed" -> time {
+        rag.query("What does Utils use?", includeTriplets = true)
+          .triplets.foreach(_.count())
+      }
+    }
+
     // a failed headline query must be visible in the JSON, not just a
     // stderr note — otherwise broken queries publish plausible numbers
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]

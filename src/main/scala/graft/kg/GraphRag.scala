@@ -136,6 +136,25 @@ final class GraphRag(
     QueryResult(hits, triplets)
   }
 
+  /** Read-time canonical view — the cheap alternative to compaction when
+    * incremental batches are too frequent to compact after each one: the
+    * BASE edge set is remapped under the CURRENT `canonical_map` at scan
+    * time and re-deduped on the canonical key. Always reflects the latest
+    * linking state (even mid-compaction), at the price of the remap join
+    * per read; the materialized `canonical_edges` table is the amortized
+    * form the compaction job maintains. The non-identity canonical map
+    * (linked names only) is broadcast; unmapped names pass through as
+    * themselves. */
+  def canonicalEdgesView(): DataFrame = {
+    import spark.implicits._
+    val base = io.read(spark, "edges")
+      .select("subj", "pred", "obj", "label", "sourceChunkId").as[RelatesToEdge]
+    val cm =
+      if (io.exists(spark, "canonical_map")) io.read(spark, "canonical_map")
+      else spark.emptyDataset[CanonicalMapping].toDF()
+    graft.kg.stages.Materialize.canonicalEdges(base, cm.as[CanonicalMapping]).toDF()
+  }
+
   /** `graphrag stats`: table row counts (the reference's node/rel
     * counts, `cli/main.py:90-104`). */
   def stats(): Map[String, Long] =

@@ -59,6 +59,20 @@ class CompactionSuite extends AnyFunSuite {
       assert(subjs.contains("batch engine") && !subjs.contains("batchengine"))
       assert(subjs.contains("parse tree") && !subjs.contains("parsetree"))
     }
+    // the read-time remap view (base edges ∘ current canonical_map at
+    // scan time) equals the materialized canonical_edges table
+    Seq(delta, full).foreach { io =>
+      val rag = new GraphRag(spark, io, base)
+      val view = rag.canonicalEdgesView()
+      val cols = view.columns.sorted.toSeq
+      val viewSet = view.selectExpr(cols.map(c => s"cast(`$c` as string)"): _*)
+        .collect().map(_.mkString("|")).toSet
+      val tableSet = io.read(spark, "canonical_edges")
+        .select("subj", "pred", "obj", "label", "sourceChunkId")
+        .selectExpr(cols.map(c => s"cast(`$c` as string)"): _*)
+        .collect().map(_.mkString("|")).toSet
+      assert(viewSet == tableSet, "read-time canonical view != compacted table")
+    }
   }
 
   test("overwritePartitions swaps only the listed partitions on storage") {
