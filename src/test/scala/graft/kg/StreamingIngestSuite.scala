@@ -74,4 +74,42 @@ class StreamingIngestSuite extends AnyFunSuite {
     assert(sq2.chunks.collect().map(_.toString).sorted.toSeq ==
       bq.chunks.collect().map(_.toString).sorted.toSeq)
   }
+
+  test("streaming ingest resumes from the checkpoint across query restarts") {
+    val s = spark; import s.implicits._
+    val cfg = GraftConfig(linkMode = "lsh", linkThreshold = 0.85)
+    val gen = CorpusGen.generate(repos = 4, filesPerRepo = 3, seed = 31L)
+    val batch1 = gen.rows.filter(_.repo < "org/repo002")
+    val batch2 = gen.rows.filter(_.repo >= "org/repo002")
+
+    val batchRoot = java.nio.file.Files
+      .createTempDirectory("graft_restart_batch").toString
+    val batchRag = new GraphRag(spark, new ParquetTableIO(batchRoot), cfg)
+    batchRag.ingest(spark.createDataset(batch1))
+    batchRag.ingest(spark.createDataset(batch2))
+
+    val streamRoot = java.nio.file.Files
+      .createTempDirectory("graft_restart_stream").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_restart_ckpt").toString
+    val streamRag = new GraphRag(spark, new ParquetTableIO(streamRoot), cfg)
+    implicit val sqlCtx = s.sqlContext
+    val source = MemoryStream[CorpusRow]
+    // first query lifetime: batch 1 only, then STOP
+    val q1 = streamRag.ingestStream(source.toDS(), ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try { source.addData(batch1); q1.processAllAvailable() } finally q1.stop()
+    // restart from the same checkpoint: offsets resume, batch 1 is NOT
+    // re-delivered (and would be a harmless idempotent MERGE if it were)
+    val q2 = streamRag.ingestStream(source.toDS(), ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try { source.addData(batch2); q2.processAllAvailable() } finally q2.stop()
+
+    val batchState = tableState(new ParquetTableIO(batchRoot))
+    val streamState = tableState(new ParquetTableIO(streamRoot))
+    tables.foreach { t =>
+      assert(streamState(t) == batchState(t),
+        s"table $t diverged after checkpoint restart")
+    }
+  }
 }
