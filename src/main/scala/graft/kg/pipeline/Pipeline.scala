@@ -316,6 +316,14 @@ final class Pipeline(
   private def compactDelta(spark: SparkSession, io: GraphTableIO): Unit = {
     import Pipeline.NumBuckets
     import spark.implicits._
+    // no stored canonical map (a store written before the table existed):
+    // the delta path cannot locate prior batches' STALE rows — their
+    // partitions are derived from the OLD canonical image of each
+    // affected predicate, and without the old map that image is
+    // unknowable (approximating it with the raw name misses rows whose
+    // old canonical was a different name hashing to a different bucket).
+    // Recover with one full rebuild, which also seeds canonical_map.
+    if (!io.exists(spark, "canonical_map")) { compact(spark, io); return }
     val allAliases = io.read(spark, "aliases").as[AliasPair]
     // CC over the cumulative alias set: LINKED names only (non-identity).
     // Small relative to the mention vocabulary — localCheckpoint pins it
@@ -323,9 +331,7 @@ final class Pipeline(
     // under its own scan otherwise).
     val newCC = Canonicalize.connectedComponents(allAliases).toDF()
       .localCheckpoint()
-    val oldCC =
-      if (io.exists(spark, "canonical_map")) io.read(spark, "canonical_map")
-      else newCC.limit(0)
+    val oldCC = io.read(spark, "canonical_map")
     val changed = oldCC.select($"name", $"canonicalName".as("oldC"))
       .join(newCC.select($"name", $"canonicalName".as("newC")), Seq("name"), "full_outer")
       .filter(!(coalesce($"oldC", $"name") <=> coalesce($"newC", $"name")))

@@ -75,6 +75,29 @@ class CompactionSuite extends AnyFunSuite {
     }
   }
 
+  test("delta compaction recovers a store with no canonical_map (pre-upgrade)") {
+    val s = spark; import s.implicits._
+    val cfg = GraftConfig(linkMode = "lsh", linkThreshold = 0.7)
+    val root = java.nio.file.Files.createTempDirectory("graftnomap").toString
+    val io = new ParquetTableIO(root)
+    new Pipeline(cfg).materialize(spark.createDataset(batches.head), io)
+    // simulate a store written before the canonical_map table existed
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/canonical_map"), true)
+    assert(!io.exists(spark, "canonical_map"))
+    // the next incremental batch detects the missing map, falls back to
+    // ONE full rebuild (stale prior rows are unlocatable without the old
+    // map), re-seeds canonical_map, and later batches go back to delta
+    batches.tail.foreach(b =>
+      new Pipeline(cfg).materialize(spark.createDataset(b), io))
+    val full = ingest(cfg.copy(fullCompaction = true))
+    Seq("canonical_edges", "vertices", "canonical_map").foreach { t =>
+      assert(state(io, t) == state(full, t),
+        s"table $t diverged recovering from a mapless store")
+    }
+  }
+
   test("overwritePartitions swaps only the listed partitions on storage") {
     val s = spark; import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("graftparts").toString
