@@ -34,6 +34,33 @@ object DedupOps {
       .agg(min(md5(concat(lit("a|"), col("sh")))).as("mh_a"),
         min(md5(concat(lit("b|"), col("sh")))).as("mh_b"))
 
+  /** Banded candidate pairs re-scored at exact token-set Jaccard —
+    * (a, b, jaccard), a < b. Shared by q27 (the pair listing) and q40
+    * (cluster representative selection over the pair graph). */
+  private def minhashJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(s, dir)
+    val cands = sig.as("x").join(sig.as("y"),
+        col("x.mh_a") === col("y.mh_a") && col("x.mh_b") === col("y.mh_b") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(toks.select(col("doc_id").as("a"), col("tok")), Seq("a"))
+      .join(toks.select(col("doc_id").as("b"), col("tok")), Seq("b", "tok"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    cands
+      .join(inter, Seq("a", "b"), "left")
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("sza") + col("szb") - coalesce(col("inter"), lit(0L))))
+          .as("jaccard"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content hash, keep min doc_id.
     "q25_dedup_exact" -> ((s, dir) => {
@@ -50,29 +77,29 @@ object DedupOps {
     // MinHash-banded candidate pairs + exact n-gram Jaccard re-score:
     // docs sharing BOTH minhash bands are candidates; Jaccard over
     // distinct token sets via a blocked join (no cross product).
-    "q27_minhash_jaccard" -> ((s, dir) => {
-      val sig = minhashSig(s, dir)
-      val cands = sig.as("x").join(sig.as("y"),
-          col("x.mh_a") === col("y.mh_a") && col("x.mh_b") === col("y.mh_b") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .distinct()
-      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val inter = cands
-        .join(toks.select(col("doc_id").as("a"), col("tok")), Seq("a"))
-        .join(toks.select(col("doc_id").as("b"), col("tok")), Seq("b", "tok"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-      cands
-        .join(inter, Seq("a", "b"), "left")
-        .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
-        .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
-        .select(col("a"), col("b"),
-          (coalesce(col("inter"), lit(0L)).cast("double") /
-            (col("sza") + col("szb") - coalesce(col("inter"), lit(0L))))
-            .as("jaccard"))
-        .orderBy(col("a"), col("b"))
+    "q27_minhash_jaccard" -> ((s, dir) =>
+      minhashJaccard(s, dir).orderBy(col("a"), col("b"))),
+
+    // Duplicate-CLUSTER representative selection — the step after pair
+    // generation in a production dedup: connected components over the
+    // jaccard ≥ 0.8 pair graph (reusing the KG engine's large-star/
+    // small-star CC, size-adaptive), representative = lexicographic min
+    // of the component (ids compared AS STRINGS — the same ordering the
+    // recursive-CTE oracle uses). Every doc gets an assignment; keeping
+    // rows where doc_id-as-string == rep is the dedup'd corpus.
+    "q40_dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = minhashJaccard(s, dir).filter(col("jaccard") >= 0.8)
+      val aliases = pairs.select(col("a").cast("string").as("a"),
+        col("b").cast("string").as("b"), col("jaccard").as("score"))
+        .as[graft.kg.AliasPair]
+      val cc = graft.kg.stages.Canonicalize.connectedComponents(aliases).toDF()
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(cc.select(col("name").as("docstr"), col("canonicalName")),
+          col("doc_id").cast("string") === col("docstr"), "left")
+        .select(col("doc_id"),
+          coalesce(col("canonicalName"), col("doc_id").cast("string")).as("rep"))
+        .orderBy(col("doc_id"))
     }),
 
     // SimHash (32-bit, md5-derived → engine-portable): per token take the
@@ -157,6 +184,47 @@ object DedupOps {
          JOIN sizes sa ON sa.doc_id = c.a
          JOIN sizes sb ON sb.doc_id = c.b
          ORDER BY 1, 2""",
+    // transitive closure by recursive CTE over the symmetrized jaccard
+    // ≥ 0.8 pair graph; representative = least(self, min reachable) —
+    // ids compared AS VARCHAR, matching the engine's string-keyed CC
+    "q40_dedup_clusters" ->
+      """WITH RECURSIVE sig AS (
+           SELECT doc_id, min(md5('a|' || sh)) AS mh_a, min(md5('b|' || sh)) AS mh_b
+           FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1])) AS sh
+                 FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+                 WHERE len(toks) >= 2)
+           GROUP BY 1),
+         cands AS (
+           SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y
+           ON x.mh_a = y.mh_a AND x.mh_b = y.mh_b AND x.doc_id < y.doc_id),
+         toks AS (
+           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+         inter AS (
+           SELECT c.a, c.b, count(*) AS inter FROM cands c
+           JOIN toks ta ON ta.doc_id = c.a
+           JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+           GROUP BY 1, 2),
+         dup AS (
+           SELECT CAST(c.a AS VARCHAR) AS a, CAST(c.b AS VARCHAR) AS b
+           FROM cands c
+           LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+           JOIN sizes sa ON sa.doc_id = c.a
+           JOIN sizes sb ON sb.doc_id = c.b
+           WHERE CAST(coalesce(i.inter, 0) AS DOUBLE) /
+                 (sa.sz + sb.sz - coalesce(i.inter, 0)) >= 0.8),
+         e AS (SELECT a, b FROM dup UNION SELECT b, a FROM dup),
+         reach(a, b) AS (
+           SELECT a, b FROM e
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         rep AS (SELECT a AS d, least(a, min(b)) AS rep FROM reach GROUP BY a)
+         SELECT doc.doc_id, coalesce(rep.rep, CAST(doc.doc_id AS VARCHAR)) AS rep
+         FROM documents doc
+         LEFT JOIN rep ON CAST(doc.doc_id AS VARCHAR) = rep.d
+         ORDER BY doc.doc_id""",
     "q28_simhash" ->
       """WITH h AS (
            SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
