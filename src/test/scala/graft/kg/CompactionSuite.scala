@@ -75,6 +75,20 @@ class CompactionSuite extends AnyFunSuite {
     }
   }
 
+  test("delta == full compaction under the salted-join config too") {
+    // the 10^12-scale regime: no broadcast of the canonical map anywhere —
+    // compactDelta's rebuild must identity-complete the map for the
+    // salted path (which drops unmatched rows where broadcast coalesces)
+    val cfg = GraftConfig(linkMode = "lsh", linkThreshold = 0.7,
+      saltedCanonicalJoin = true)
+    val delta = ingest(cfg)
+    val full = ingest(cfg.copy(fullCompaction = true))
+    Seq("canonical_edges", "vertices", "canonical_map").foreach { t =>
+      assert(state(delta, t) == state(full, t), s"$t diverged (salted)")
+      assert(state(delta, t).nonEmpty)
+    }
+  }
+
   test("delta compaction recovers a store with no canonical_map (pre-upgrade)") {
     val s = spark; import s.implicits._
     val cfg = GraftConfig(linkMode = "lsh", linkThreshold = 0.7)
