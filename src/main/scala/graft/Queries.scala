@@ -21,10 +21,14 @@ object Queries {
     * action reuses the expensive chunk/extract work instead of recomputing
     * the lineage from the corpus scan. */
   private val kgCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Pipeline#Result]
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), Pipeline#Result]
 
   private def kgResult(s: SparkSession, dir: String, mode: String): Pipeline#Result =
-    kgCache.getOrElseUpdate((dir, mode), {
+    // keyed by SESSION identity too: a cached Result holds Datasets bound
+    // to the session that built it — reusing them after a session restart
+    // (same JVM, e.g. sequential harness phases) would throw instead of
+    // rebuilding
+    kgCache.getOrElseUpdate((System.identityHashCode(s), dir, mode), {
       val cfg =
         if (mode == "lsh") GraftConfig(linkMode = "lsh", linkThreshold = 0.85)
         else GraftConfig(linkMode = mode)

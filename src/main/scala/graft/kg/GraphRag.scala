@@ -152,7 +152,22 @@ final class GraphRag(
     val cm =
       if (io.exists(spark, "canonical_map")) io.read(spark, "canonical_map")
       else spark.emptyDataset[CanonicalMapping].toDF()
-    graft.kg.stages.Materialize.canonicalEdges(base, cm.as[CanonicalMapping]).toDF()
+    // same join regime as the compaction paths: broadcast wants the SMALL
+    // non-identity map (left-join + coalesce completes it); the salted
+    // path — for when even the linked-name set outgrows broadcast —
+    // requires an identity-COMPLETE map over the edges' names (its
+    // replicated join drops unmatched rows instead of coalescing)
+    val mapping =
+      if (!config.saltedCanonicalJoin) cm.as[CanonicalMapping]
+      else base.toDF()
+        .select(explode(array(col("subj"), col("pred"), col("obj"))).as("name"))
+        .distinct()
+        .join(cm, Seq("name"), "left")
+        .select(col("name"),
+          coalesce(col("canonicalName"), col("name")).as("canonicalName"))
+        .as[CanonicalMapping]
+    graft.kg.stages.Materialize
+      .canonicalEdges(base, mapping, salted = config.saltedCanonicalJoin).toDF()
   }
 
   /** `graphrag stats`: table row counts (the reference's node/rel

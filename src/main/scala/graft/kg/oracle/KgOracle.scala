@@ -322,12 +322,11 @@ object KgOracle {
         (0 until bits).map { p =>
           if (Embedder.dot(v, planes(l * bits + p)) > 0) 1 << p else 0
         }.sum
+      val masks = (0 until (1 << bits))
+        .filter(m => Integer.bitCount(m) <= probeRadius)
       val probed: Set[(Int, Int)] = (0 until nTables).flatMap { l =>
         val base = sketch(qv, l)
-        val flips =
-          if (probeRadius >= 1) (0 until bits).map(p => base ^ (1 << p))
-          else Seq.empty
-        (base +: flips).distinct.map(b => (l, b))
+        masks.map(m => (l, base ^ m))
       }.toSet
       chunks
         .filter(c => (0 until nTables)

@@ -61,15 +61,24 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
     // (WHEN MATCHED THEN UPDATE): existing rows whose key reappears in the
     // delta are anti-joined away, so a re-ingest repairs e.g. a null-tf
     // row from an older store instead of arbitrarily keeping either side.
-    val merged =
-      if (exists(spark, table)) {
-        val deltaKeys = delta.select(keys.map(col): _*).distinct()
-        read(spark, table)
-          .join(deltaKeys, keys, "left_anti")
-          .unionByName(delta, allowMissingColumns = true)
-          .dropDuplicates(keys)
-      } else delta.dropDuplicates(keys)
-    writeSwap(spark, table, merged, partitionCols)
+    // the delta's plan is consumed TWICE on the upsert path (the anti-join
+    // key side and the union side) and Spark does not dedupe two distinct
+    // projections of one subtree — pin it for the duration of the write
+    // so an expensive upstream (the chunk→extract chain) executes once
+    val pinned = delta.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val d = if (pinned) delta
+      else delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val merged =
+        if (exists(spark, table)) {
+          val deltaKeys = d.select(keys.map(col): _*).distinct()
+          read(spark, table)
+            .join(deltaKeys, keys, "left_anti")
+            .unionByName(d, allowMissingColumns = true)
+            .dropDuplicates(keys)
+        } else d.dropDuplicates(keys)
+      writeSwap(spark, table, merged, partitionCols)
+    } finally if (!pinned) { d.unpersist(blocking = false); () }
   }
 
   def overwrite(spark: SparkSession, table: String, df: DataFrame,
@@ -80,7 +89,15 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
       partitionCol: String, partitions: Seq[Int]): Unit = {
     // stage the replacement partitions, then swap each listed dir — the
     // source plan may read the live table, so nothing is deleted until
-    // the staged write is complete
+    // the staged write is complete.
+    //
+    // Durability note: the per-partition delete→rename pair is NOT atomic
+    // on a plain filesystem — a crash between the two loses that
+    // partition until the next fullCompaction rebuild (the same class of
+    // window writeSwap has for the whole table). This is an accepted
+    // limitation of the parquet EMULATION; the production target is an
+    // Iceberg snapshot commit (`overwritePartitions`/dynamic partition
+    // overwrite), where the swap is a single atomic metadata operation.
     val tmp = path(table) + "__tmpparts"
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(root)

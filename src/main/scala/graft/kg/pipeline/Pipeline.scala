@@ -171,6 +171,20 @@ final class Pipeline(
       else None
     val r = run(corpus, existing)
     import Pipeline.NumBuckets
+    // the merges below consume chunks through three branches (chunks,
+    // embeddings, terms) and triples through four more (edges, entity
+    // index, canonical edges, vertices) — pin both for the duration of
+    // the materialization so the chunk→extract chain executes once, not
+    // once per sink. run() itself stays fully lazy in exact mode (the
+    // plan-once benchmarks must measure the real chain); lsh mode already
+    // pinned triples for its eager linking probe.
+    import org.apache.spark.storage.StorageLevel
+    def pin(df: Dataset[_]): Boolean =
+      if (df.storageLevel == StorageLevel.NONE) {
+        df.persist(StorageLevel.MEMORY_AND_DISK); true
+      } else false
+    val pinnedChunks = pin(r.chunks)
+    val pinnedTriples = pin(r.triples)
     // physical layout (SURVEY.md §4.4): edges bucketed by pred hash,
     // vertices by name hash — partition-parallel MERGE and pruning;
     // production = Iceberg bucket(N, col) transforms
@@ -215,15 +229,24 @@ final class Pipeline(
       .withColumn("ebucket", pmod(hash(col("entity")), lit(NumBuckets)))
     io.merge(spark, "edge_entity_index", edgeIndexDelta,
       Seq("entity", "subj", "pred", "obj"), Seq("ebucket"))
-    // the batch-local canonical edges are computed under the CUMULATIVE
-    // map (incremental linking feeds the existing entity set into the
-    // alias universe), so they merge directly; what a later batch's
-    // linking can invalidate is PRIOR rows — the compaction below fixes
-    // exactly those (delta mode: only the partitions they live in)
-    val canonEdgesPart = r.canonicalEdges.toDF()
-      .withColumn("pbucket", pmod(hash(col("pred")), lit(NumBuckets)))
-    io.merge(spark, "canonical_edges", canonEdgesPart,
-      Seq("subj", "pred", "obj"), Seq("pbucket"))
+    // canonical rows are NEVER merged from the batch-local map on
+    // incremental batches: the batch's linking runs over its own alias
+    // universe, and universe growth can EVICT pairs (top-K per probe,
+    // band-bucket cap) that the cumulative aliases table still holds — so
+    // the batch-local canonical image can disagree with the cumulative
+    // map at names whose stored mapping did not change, which a
+    // map-DIFF-driven delta compaction would never revisit. Instead the
+    // compaction (full or delta) derives ALL canonical state from the
+    // cumulative base edges + cumulative alias map; the invariant after
+    // every batch is canonical_edges == canonicalEdges(edges,
+    // canonical_map), which the delta path maintains bucket-wise.
+    if (existing.isEmpty) {
+      // fresh store: batch-local == cumulative by definition
+      val canonEdgesPart = r.canonicalEdges.toDF()
+        .withColumn("pbucket", pmod(hash(col("pred")), lit(NumBuckets)))
+      io.merge(spark, "canonical_edges", canonEdgesPart,
+        Seq("subj", "pred", "obj"), Seq("pbucket"))
+    }
     io.merge(spark, "vertices", verticesPart, Seq("name"), Seq("nbucket"))
     io.merge(spark, "aliases", r.aliases.toDF(), Seq("a", "b"))
     if (existing.isEmpty) {
@@ -232,7 +255,9 @@ final class Pipeline(
       io.overwrite(spark, "canonical_map",
         r.canonical.toDF().filter(col("name") =!= col("canonicalName")))
     } else if (config.fullCompaction) compact(spark, io)
-    else compactDelta(spark, io)
+    else compactDelta(spark, io, r.edges)
+    if (pinnedChunks) r.chunks.unpersist(blocking = false)
+    if (pinnedTriples) r.triples.unpersist(blocking = false)
     r.cleanup()
     val tableCounts = Seq("chunks", "chunk_embeddings", "chunk_vec_index",
       "terms", "edges", "edge_entity_index", "canonical_edges", "vertices",
@@ -294,26 +319,43 @@ final class Pipeline(
     * output over the cumulative alias set as of the previous batch)
     * against the new one and touches only what that diff reaches:
     *
-    *  1. `changed` = names whose canonical mapping differs (small — the
-    *     merged components only).
+    *  1. Affected names = names whose canonical mapping differs under the
+    *     map diff (the merged components) ∪ every name of the BATCH's own
+    *     base edges. The batch's names are included because its canonical
+    *     rows are not merged from the batch-local map at all — the
+    *     batch's linking ran over its own alias universe, and universe
+    *     growth can evict pairs (top-K per probe, band-bucket cap) that
+    *     the cumulative alias table still holds, so the batch-local image
+    *     may disagree with the cumulative map at names the diff never
+    *     flags. All canonical state is derived HERE, from cumulative
+    *     base edges + cumulative map.
     *  2. Affected canonical-edge PARTITIONS = pbuckets of the old and new
-    *     canonical predicate images of base edges touching a changed name.
-    *     Those buckets are rebuilt exactly (from every base edge whose new
-    *     canonical pred lands there — affected or not, so surviving rows
-    *     are regenerated, stale images vanish, and cross-bucket moves
-    *     land) and swapped in via [[GraphTableIO.overwritePartitions]];
-    *     every other partition is untouched on storage.
-    *  3. Affected vertex partitions = nbuckets of the changed names; only
-    *     those rewrite, with the canonicalName pointer coalesced to the
-    *     new map.
+    *     canonical predicate images of base edges touching an affected
+    *     name. Those buckets are rebuilt exactly (from every base edge
+    *     whose new canonical pred lands there — affected or not, so
+    *     surviving rows are regenerated, stale images vanish, and
+    *     cross-bucket moves land) and swapped in via
+    *     [[GraphTableIO.overwritePartitions]]; every other partition is
+    *     untouched on storage — sound because an untouched bucket's edges
+    *     have no affected name, hence identical images under both maps.
+    *  3. Affected vertex partitions = nbuckets of the affected names;
+    *     only those rewrite, with EVERY row's canonicalName pointer
+    *     regenerated from the new map (the batch's vertex merge wrote
+    *     batch-local pointers, corrected here wholesale).
+    *
+    * Invariant after every batch: canonical_edges ==
+    * Materialize.canonicalEdges(edges, canonical_map) and
+    * vertices.canonicalName == canonical_map image — the same state the
+    * full rebuild produces, maintained bucket-wise by induction.
     *
     * Cost: two broadcast-join map-only passes over the base edge table
     * (no shuffle) + a shuffle/write of ONLY the affected partition subset
-    * — vs the full rebuild's global shuffle + full-table rewrite. A batch
-    * that links nothing across batches (`changed` empty) pays two small
-    * scans and writes nothing. Equivalence with [[compact]] is asserted
-    * table-for-table in CompactionSuite. */
-  private def compactDelta(spark: SparkSession, io: GraphTableIO): Unit = {
+    * — vs the full rebuild's global shuffle + full-table rewrite; the
+    * write volume is bounded by the batch size plus the merged
+    * components' reach. Equivalence with [[compact]] is asserted
+    * table-for-table in CompactionSuite (broadcast and salted configs). */
+  private def compactDelta(spark: SparkSession, io: GraphTableIO,
+      batchEdges: Dataset[RelatesToEdge]): Unit = {
     import Pipeline.NumBuckets
     import spark.implicits._
     // no stored canonical map (a store written before the table existed):
@@ -335,15 +377,19 @@ final class Pipeline(
     val changed = oldCC.select($"name", $"canonicalName".as("oldC"))
       .join(newCC.select($"name", $"canonicalName".as("newC")), Seq("name"), "full_outer")
       .filter(!(coalesce($"oldC", $"name") <=> coalesce($"newC", $"name")))
-      .select($"name",
-        coalesce($"oldC", $"name").as("oldC"),
-        coalesce($"newC", $"name").as("newC"))
+      .select($"name")
+    // affected = map-diff names ∪ the batch's own edge names (whose
+    // canonical rows are created by this rebuild — see the Scaladoc)
+    val affectedNames = changed
+      .unionByName(batchEdges.toDF()
+        .select(explode(array($"subj", $"pred", $"obj")).as("name")))
+      .distinct()
       .localCheckpoint()
-    if (!changed.isEmpty) {
+    if (!affectedNames.isEmpty) {
       val base = io.read(spark, "edges")
         .select("subj", "pred", "obj", "label", "sourceChunkId")
-      val mark = broadcast(changed.select($"name"))
-      // map-only pass 1: base edges touching any changed name
+      val mark = broadcast(affectedNames)
+      // map-only pass 1: base edges touching any affected name
       def touched(c: String) = col(s"t_$c").isNotNull
       val affected = Seq("subj", "pred", "obj").foldLeft(base) { (df, c) =>
         df.join(mark.select($"name".as(c), lit(1).as(s"t_$c")), Seq(c), "left")
@@ -378,16 +424,19 @@ final class Pipeline(
         .toDF().withColumn("pbucket", pmod(hash($"pred"), lit(NumBuckets)))
       io.overwritePartitions(spark, "canonical_edges", newContent,
         "pbucket", buckets)
-      // vertex pointer refresh: only partitions holding a changed name
-      val nbuckets = changed
+      // vertex pointer refresh: only partitions holding an affected name;
+      // EVERY row in them gets its pointer regenerated from the new map
+      // (idempotent for unaffected rows — their image is unchanged there)
+      val nbuckets = affectedNames
         .select(pmod(hash($"name"), lit(NumBuckets)).as("b"))
         .distinct().as[Int].collect().toSeq
       val refreshed = io.read(spark, "vertices")
         .filter($"nbucket".isin(nbuckets: _*)) // partition-pruned read
-        .join(broadcast(changed.select($"name", $"newC")), Seq("name"), "left")
-        .withColumn("canonicalName", coalesce($"newC", $"canonicalName"))
-        .drop("newC")
-        .select($"name", $"canonicalName", $"vec", $"tripletPart", $"nbucket")
+        .drop("canonicalName")
+        .join(broadcast(newCC.select($"name", $"canonicalName".as("cn"))),
+          Seq("name"), "left")
+        .select($"name", coalesce($"cn", $"name").as("canonicalName"),
+          $"vec", $"tripletPart", $"nbucket")
       io.overwritePartitions(spark, "vertices", refreshed, "nbucket", nbuckets)
     }
     io.overwrite(spark, "canonical_map", newCC)

@@ -64,23 +64,24 @@ object VectorIndex {
     }.reduce(_ unionByName _)
 
   /** Driver-side sketch of a query vector: the (table, bucket) pairs to
-    * read. `probeRadius = 1` additionally probes every bucket at Hamming
-    * distance 1 from the query's sketch (K extra buckets per table) —
-    * the standard multi-probe recall lever. */
+    * read — every bucket within Hamming distance `probeRadius` of the
+    * query's sketch in each table (Σ_{d≤r} C(K,d) buckets per table; at
+    * the defaults r=1, K=6 that is 7 of the 64). The standard multi-probe
+    * recall lever: raising r trades read amplification for recall without
+    * growing the stored index. */
   def queryBuckets(qv: Array[Float], probeRadius: Int = 1): Seq[(Int, Int)] = {
     def dot(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0; var i = 0
       while (i < math.min(a.length, b.length)) { s += a(i).toDouble * b(i).toDouble; i += 1 }
       s
     }
+    val masks = (0 until (1 << BitsPerTable))
+      .filter(m => Integer.bitCount(m) <= probeRadius)
     (0 until NumTables).flatMap { l =>
       val base = (0 until BitsPerTable).map { p =>
         if (dot(qv, planeWeights(l * BitsPerTable + p, qv.length)) > 0) 1 << p else 0
       }.sum
-      val probes =
-        if (probeRadius >= 1) (0 until BitsPerTable).map(p => base ^ (1 << p))
-        else Seq.empty
-      (base +: probes).distinct.map(b => (l, b))
+      masks.map(m => (l, base ^ m))
     }
   }
 }
