@@ -68,8 +68,19 @@ object Bench {
     val big = kg.fixtures.CorpusGen.generateDistributed(spark, 4200, 240, seed = 42L)
       .repartition(cpus.toInt * 4).cache()
     val bigDocs = big.count()
+    // END-TO-END 1M-doc run (fresh plan + full execution): the headline
+    // kg_files_per_sec denominator, comparable across rounds — planning,
+    // chunk/extract chain and edge dedup all included. The plan-once
+    // figure below is reported under its own clearly-named key so the two
+    // protocols can never be conflated.
+    val bigE2eSec = time {
+      new Pipeline(GraftConfig(linkMode = "exact")).run(big).edges.count()
+    }
+    results += "kg_pipeline_1m_e2e" -> bigE2eSec
+    // plan-once / execute-many (the ScalingBench protocol — one plan,
+    // hours of execution in production): median of 3 on a single built
+    // plan, JIT-warm from the end-to-end run above
     val bigPlanned = new Pipeline(GraftConfig(linkMode = "exact")).run(big).edges
-    bigPlanned.count() // warm-up (JIT + cache)
     val bigRuns = (1 to 3).map(_ => time(bigPlanned.count())).sorted
     val bigSec = bigRuns(1)
     results += "kg_throughput_1m_exec" -> bigSec
@@ -118,16 +129,20 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.sum
-    // headline throughput = the 1M-doc plan-once measurement (execution
-    // throughput of the built plan); the sf-corpus number is planning-
-    // bound and reported separately for continuity
-    val filesPerSec = if (bigSec > 0) bigDocs / bigSec else 0.0
+    // headline kg_files_per_sec = END-TO-END (fresh plan + execution) on
+    // the 1M-doc corpus — comparable with prior rounds' end-to-end figure;
+    // the plan-once execution throughput gets its own key
+    // (kg_exec_files_per_sec) and the sf-corpus number stays under its
+    // planning-bound label for continuity
+    val filesPerSec = if (bigE2eSec > 0) bigDocs / bigE2eSec else 0.0
+    val execFilesPerSec = if (bigSec > 0) bigDocs / bigSec else 0.0
     val filesPerSecSf = if (kgExactSec > 0) nDocs / kgExactSec else 0.0
     val json =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","kg_docs":$nDocs,"kg_edges":$kgEdges,""" +
         s""""kg_throughput_docs":$bigDocs,""" +
         s""""kg_files_per_sec":${f"$filesPerSec%.1f"},""" +
+        s""""kg_exec_files_per_sec":${f"$execFilesPerSec%.1f"},""" +
         s""""kg_files_per_sec_sf_plan_bound":${f"$filesPerSecSf%.1f"},""" +
         s""""failed":$failedJson}"""
     // stdout (unprefixed via build.sbt outputStrategy) AND a file copy,

@@ -23,12 +23,25 @@ object Queries {
   private val kgCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String, String), Pipeline#Result]
 
-  private def kgResult(s: SparkSession, dir: String, mode: String): Pipeline#Result =
+  private def kgResult(s: SparkSession, dir: String, mode: String): Pipeline#Result = {
     // keyed by SESSION identity too: a cached Result holds Datasets bound
     // to the session that built it — reusing them after a session restart
     // (same JVM, e.g. sequential harness phases) would throw instead of
-    // rebuilding
-    kgCache.getOrElseUpdate((System.identityHashCode(s), dir, mode), {
+    // rebuilding. Entries from OTHER sessions are evicted on sight: they
+    // can never be served again (their session key will not recur for
+    // this session) and would otherwise pin dead cached partitions — and
+    // an identityHashCode collision across restarts could even serve a
+    // Dataset bound to a stopped session.
+    val sid = System.identityHashCode(s)
+    kgCache.keys.filter(_._1 != sid).foreach { k =>
+      kgCache.remove(k).foreach { r =>
+        try { r.chunks.unpersist(blocking = false)
+              r.triples.unpersist(blocking = false)
+              r.cleanup() }
+        catch { case _: Throwable => () } // stopped session: nothing to free
+      }
+    }
+    kgCache.getOrElseUpdate((sid, dir, mode), {
       val cfg =
         if (mode == "lsh") GraftConfig(linkMode = "lsh", linkThreshold = 0.85)
         else GraftConfig(linkMode = mode)
@@ -37,6 +50,7 @@ object Queries {
       r.triples.persist()
       r
     })
+  }
 
   private val kgDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_edges" -> ((s: SparkSession, dir: String) =>

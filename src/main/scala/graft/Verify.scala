@@ -23,8 +23,12 @@ object Verify {
       }
     }
     // independent expected tables for the kg_* family (KgOracle doc):
-    // the kg_* oracle SQL reads these back via read_parquet('{OUT}/...')
-    try graft.kg.oracle.KgOracle.writeExpected(spark, sfDir, outDir)
+    // the kg_* oracle SQL reads these back via read_parquet('{OUT}/...').
+    // Written OUTSIDE outDir — the driver enumerates outDir's
+    // subdirectories as query results, and an artifact dir there would
+    // surface as a phantom oracle-less query row.
+    val expectedDir = new java.io.File(outDir).getAbsolutePath + "__kgexpected"
+    try graft.kg.oracle.KgOracle.writeExpected(spark, sfDir, expectedDir)
     catch { case e: Throwable =>
       System.err.println(s"[verify] kg expected-set dump failed: ${e.getMessage}")
     }
@@ -41,10 +45,9 @@ object Verify {
       case c => c.toString
     } + "\""
     // kg_* oracles reference the expected-set parquet written above via a
-    // {OUT} placeholder — substitute the real absolute outDir at dump time
-    val outAbs = new java.io.File(outDir).getAbsolutePath
+    // {OUT} placeholder — substitute the real expected dir at dump time
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", outAbs))}" }
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", expectedDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

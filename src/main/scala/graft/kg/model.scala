@@ -115,6 +115,15 @@ final case class GraftConfig(
       * deterministically on adversarial near-identical-name corpora; see
       * [[graft.kg.stages.Link.lshAliases]]. */
     lshMaxBucket: Int = 256,
+    /** Aliases-table lifecycle: true (default) = after each batch's
+      * compaction, rewrite the append-only alias-pair log down to the
+      * canonical star edges (one row per linked name), bounding its
+      * growth at O(linked names) under repeated ingest of overlapping
+      * corpora. Sound because the table's only consumer is connected
+      * components, for which any spanning structure of the same
+      * components is equivalent. false = keep every pair ever derived
+      * (the full provenance log). */
+    pruneAliases: Boolean = true,
     /** Incremental-batch compaction strategy: false (default) = DELTA
       * compaction — only the canonical-edge partitions and vertex
       * partitions touched by names whose canonical mapping actually

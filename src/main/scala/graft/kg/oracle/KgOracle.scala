@@ -18,8 +18,9 @@ import scala.collection.mutable
   * shared, so a data typo cannot make both sides agree by accident while
   * the LOGIC is written twice).
   *
-  * `Verify` writes these expected tables to `<out>/_expected/<name>` and
-  * rewrites each kg_* oracle SQL to `read_parquet('<out>/_expected/...')`,
+  * `Verify` writes these expected tables to a sibling directory OUTSIDE
+  * the scanned result dir (`<out>__kgexpected/<name>`) and rewrites each
+  * kg_* oracle SQL to `read_parquet('<expectedDir>/...')`,
   * so the driver's DuckDB hash-compare checks pipeline output against an
   * independently computed expectation — converting the kg_* family from
   * rows-only to full tri-green rows in CORRECTNESS_r{N}.json.
@@ -417,13 +418,17 @@ object KgOracle {
 
   // ===== parquet dump for the DuckDB compare =====
 
-  /** Write all expected kg_* tables under `<outDir>/_expected/<name>`,
-    * with column names/types matching the Verify query dumps. */
-  def writeExpected(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+  /** Write all expected kg_* tables under `<expectedDir>/<name>`, with
+    * column names/types matching the Verify query dumps. `expectedDir`
+    * must live OUTSIDE the Verify result directory the driver scans —
+    * these are oracle INPUTS (read back by the kg_* oracle SQL), not
+    * query results, and a dump inside the scanned dir would surface as a
+    * phantom oracle-less query row. */
+  def writeExpected(spark: SparkSession, sfDir: String, expectedDir: String): Unit = {
     import spark.implicits._
     val e = new Expected(sfDir)
     def put(name: String, df: DataFrame): Unit =
-      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_expected/$name")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$expectedDir/$name")
 
     put("kg_chunks", e.chunks.toDF())
     put("kg_terms", spark.createDataset(e.terms).toDF("chunkId", "text", "termType")
@@ -446,24 +451,24 @@ object KgOracle {
   }
 
   /** Oracle SQL for the kg_* family: read the expected parquet back.
-    * `{OUT}` is substituted with the actual outDir by [[graft.Verify]]. */
+    * `{OUT}` is substituted with the actual expected dir by [[graft.Verify]]. */
   val oracles: Map[String, String] = Map(
     "kg_chunks" ->
-      "SELECT * FROM read_parquet('{OUT}/_expected/kg_chunks/*.parquet') ORDER BY chunkId",
+      "SELECT * FROM read_parquet('{OUT}/kg_chunks/*.parquet') ORDER BY chunkId",
     "kg_terms" ->
-      "SELECT * FROM read_parquet('{OUT}/_expected/kg_terms/*.parquet') ORDER BY chunkId, termType, text",
+      "SELECT * FROM read_parquet('{OUT}/kg_terms/*.parquet') ORDER BY chunkId, termType, text",
     "kg_edges" ->
-      "SELECT * FROM read_parquet('{OUT}/_expected/kg_edges/*.parquet') ORDER BY subj, pred, obj",
+      "SELECT * FROM read_parquet('{OUT}/kg_edges/*.parquet') ORDER BY subj, pred, obj",
     "kg_vertices" ->
-      "SELECT * FROM read_parquet('{OUT}/_expected/kg_vertices/*.parquet') ORDER BY name",
+      "SELECT * FROM read_parquet('{OUT}/kg_vertices/*.parquet') ORDER BY name",
     "kg_canonical_lsh" ->
-      "SELECT * FROM read_parquet('{OUT}/_expected/kg_canonical_lsh/*.parquet') ORDER BY name",
+      "SELECT * FROM read_parquet('{OUT}/kg_canonical_lsh/*.parquet') ORDER BY name",
     "kg_hybrid_search" ->
-      "SELECT * FROM read_parquet('{OUT}/_expected/kg_hybrid_search/*.parquet') ORDER BY score DESC, chunkId",
+      "SELECT * FROM read_parquet('{OUT}/kg_hybrid_search/*.parquet') ORDER BY score DESC, chunkId",
     "kg_context_search" ->
-      "SELECT * FROM read_parquet('{OUT}/_expected/kg_context_search/*.parquet') ORDER BY score DESC, docId, \"index\"",
+      "SELECT * FROM read_parquet('{OUT}/kg_context_search/*.parquet') ORDER BY score DESC, docId, \"index\"",
     "kg_relationship_search" ->
-      "SELECT * FROM read_parquet('{OUT}/_expected/kg_relationship_search/*.parquet') ORDER BY entity, subj, pred, obj",
+      "SELECT * FROM read_parquet('{OUT}/kg_relationship_search/*.parquet') ORDER BY entity, subj, pred, obj",
     "kg_vector_ann" ->
-      "SELECT * FROM read_parquet('{OUT}/_expected/kg_vector_ann/*.parquet') ORDER BY score DESC, chunkId")
+      "SELECT * FROM read_parquet('{OUT}/kg_vector_ann/*.parquet') ORDER BY score DESC, chunkId")
 }

@@ -34,6 +34,19 @@ trait GraphTableIO extends Serializable {
     * `df` reads the table being modified. */
   def overwritePartitions(spark: SparkSession, table: String, df: DataFrame,
       partitionCol: String, partitions: Seq[Int]): Unit
+  /** Run `f` holding the store's single-writer lease — a second
+    * concurrent writer must FAIL FAST instead of corrupting the
+    * non-transactional table swaps. Default: passthrough (a
+    * transactional backend — Iceberg optimistic commit — enforces this
+    * at commit time instead). */
+  def withWriterLock[T](spark: SparkSession)(f: => T): T = f
+  /** Durable marker flags (crash detection — e.g. `batch_inflight`, set
+    * at batch start and cleared after the compaction completes, so a
+    * crashed batch is visible to its successor). Defaults: no-op/false —
+    * a transactional backend makes the whole batch atomic instead. */
+  def setFlag(spark: SparkSession, name: String): Unit = ()
+  def clearFlag(spark: SparkSession, name: String): Unit = ()
+  def flagSet(spark: SparkSession, name: String): Boolean = false
 }
 
 /** Parquet-backed sandbox impl rooted at `root`. A production impl would
@@ -42,10 +55,53 @@ trait GraphTableIO extends Serializable {
 final class ParquetTableIO(root: String) extends GraphTableIO {
   private def path(table: String) = s"$root/$table"
 
+  private def fs(spark: SparkSession) = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   def exists(spark: SparkSession, table: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path(table), "_SUCCESS")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** Lease-file writer lock: `create(overwrite = false)` on `$root/
+    * _writer.lock` — the second writer's create fails, so it errors out
+    * before touching any table. A crashed writer leaves the lock behind;
+    * recovery is deliberate (delete the file), matching the fail-safe
+    * direction — refusing writes is recoverable, a corrupted swap is
+    * not. Production = Iceberg optimistic commit (no lock needed). */
+  override def withWriterLock[T](spark: SparkSession)(f: => T): T = {
+    val hfs = fs(spark)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    if (!hfs.exists(rootP)) hfs.mkdirs(rootP)
+    val lock = new org.apache.hadoop.fs.Path(root, "_writer.lock")
+    val out =
+      try hfs.create(lock, false)
+      catch { case _: java.io.IOException =>
+        throw new IllegalStateException(
+          s"store $root is locked by another writer ($lock exists). " +
+            "Either a materialize is in progress, or a crashed writer " +
+            "left the lease behind — delete the file to recover.")
+      }
+    try {
+      out.writeBytes(s"pid=${ProcessHandle.current().pid()} " +
+        s"ts=${System.currentTimeMillis()}\n")
+    } finally out.close()
+    try f finally { hfs.delete(lock, false); () }
+  }
+
+  private def flagPath(name: String) =
+    new org.apache.hadoop.fs.Path(root, s"_flag_$name")
+  override def setFlag(spark: SparkSession, name: String): Unit = {
+    val hfs = fs(spark)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    if (!hfs.exists(rootP)) hfs.mkdirs(rootP)
+    hfs.create(flagPath(name), true).close()
+  }
+  override def clearFlag(spark: SparkSession, name: String): Unit = {
+    fs(spark).delete(flagPath(name), false); ()
+  }
+  override def flagSet(spark: SparkSession, name: String): Boolean =
+    fs(spark).exists(flagPath(name))
 
   def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(path(table))

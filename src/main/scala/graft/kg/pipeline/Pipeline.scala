@@ -159,9 +159,32 @@ final class Pipeline(
   /** Materialize the graph into MERGE-semantics tables (SURVEY.md §7.4):
     * idempotent — re-running over the same corpus leaves the tables
     * unchanged (Neo4j-MERGE parity, U4). Returns per-table row counts
-    * (the stage counters of the north rule's lineage+metrics requirement). */
-  def materialize(corpus: Dataset[CorpusRow], io: GraphTableIO): Map[String, Long] = {
+    * (the stage counters of the north rule's lineage+metrics requirement).
+    *
+    * Failure contract: every table write is an idempotent MERGE, so a
+    * FAILED batch is safe to retry as-is. A batch that crashes mid-way
+    * leaves the canonical tables inconsistent with the merged base tables
+    * until the next successful batch: the `batch_inflight` marker set
+    * below survives the crash and forces that batch to run ONE full
+    * canonical rebuild (derived entirely from the cumulative base
+    * tables), healing the gap regardless of which write the crash
+    * interrupted. Production mapping: an Iceberg snapshot commit makes
+    * the whole batch atomic and the marker unnecessary.
+    *
+    * Concurrency contract: single writer. The store's writer lock
+    * ([[GraphTableIO.withWriterLock]]) makes a second concurrent
+    * materialize fail fast instead of corrupting the non-transactional
+    * table swaps (production: Iceberg optimistic commit). */
+  def materialize(corpus: Dataset[CorpusRow], io: GraphTableIO): Map[String, Long] =
+    io.withWriterLock(corpus.sparkSession) { materializeLocked(corpus, io) }
+
+  private def materializeLocked(
+      corpus: Dataset[CorpusRow], io: GraphTableIO): Map[String, Long] = {
     val spark = corpus.sparkSession
+    // crash detection (see the scaladoc): a marker left by a batch that
+    // began but never completed forces one full canonical rebuild now
+    val priorIncomplete = io.flagSet(spark, "batch_inflight")
+    io.setFlag(spark, "batch_inflight")
     // incremental: link new mentions against the existing entity table.
     // localCheckpoint snapshots the prior state — the merge below swaps
     // the table directory out from under a lazy scan otherwise
@@ -185,6 +208,10 @@ final class Pipeline(
       } else false
     val pinnedChunks = pin(r.chunks)
     val pinnedTriples = pin(r.triples)
+    // aliases are consumed twice on incremental batches (the table MERGE
+    // + the delta compaction's CC seed) — without the pin the second
+    // consumption re-executes the LSH linking join
+    val pinnedAliases = pin(r.aliases)
     // physical layout (SURVEY.md §4.4): edges bucketed by pred hash,
     // vertices by name hash — partition-parallel MERGE and pruning;
     // production = Iceberg bucket(N, col) transforms
@@ -240,8 +267,12 @@ final class Pipeline(
     // cumulative base edges + cumulative alias map; the invariant after
     // every batch is canonical_edges == canonicalEdges(edges,
     // canonical_map), which the delta path maintains bucket-wise.
-    if (existing.isEmpty) {
-      // fresh store: batch-local == cumulative by definition
+    // the fresh fast path (batch-local == cumulative by definition) is
+    // only valid when no crashed batch left partial state behind — a
+    // prior incomplete batch may have merged base rows whose canonical
+    // image the batch-local map knows nothing about
+    val freshFastPath = existing.isEmpty && !priorIncomplete
+    if (freshFastPath) {
       val canonEdgesPart = r.canonicalEdges.toDF()
         .withColumn("pbucket", pmod(hash(col("pred")), lit(NumBuckets)))
       io.merge(spark, "canonical_edges", canonEdgesPart,
@@ -249,15 +280,28 @@ final class Pipeline(
     }
     io.merge(spark, "vertices", verticesPart, Seq("name"), Seq("nbucket"))
     io.merge(spark, "aliases", r.aliases.toDF(), Seq("a", "b"))
-    if (existing.isEmpty) {
+    if (freshFastPath) {
       // the canonical-map table (CC output: LINKED names only, name →
       // canonicalName) seeds the next batch's delta compaction
       io.overwrite(spark, "canonical_map",
         r.canonical.toDF().filter(col("name") =!= col("canonicalName")))
-    } else if (config.fullCompaction) compact(spark, io)
-    else compactDelta(spark, io, r.edges)
+    } else if (config.fullCompaction || priorIncomplete) compact(spark, io)
+    else compactDelta(spark, io, r.edges, r.aliases)
+    // aliases lifecycle: the table's only consumer is connected
+    // components (full-compaction fallback; the delta path seeds from
+    // canonical_map instead), for which any SPANNING structure of the
+    // same components is equivalent — so compact the append-only pair
+    // log down to the canonical star edges, bounding its size at
+    // O(linked names) instead of O(every pair ever derived)
+    if (config.pruneAliases && io.exists(spark, "canonical_map") &&
+        io.exists(spark, "aliases"))
+      io.overwrite(spark, "aliases", io.read(spark, "canonical_map")
+        .select(col("canonicalName").as("a"), col("name").as("b"),
+          lit(1.0).as("score")))
+    io.clearFlag(spark, "batch_inflight")
     if (pinnedChunks) r.chunks.unpersist(blocking = false)
     if (pinnedTriples) r.triples.unpersist(blocking = false)
+    if (pinnedAliases) r.aliases.unpersist(blocking = false)
     r.cleanup()
     val tableCounts = Seq("chunks", "chunk_embeddings", "chunk_vec_index",
       "terms", "edges", "edge_entity_index", "canonical_edges", "vertices",
@@ -315,9 +359,12 @@ final class Pipeline(
     * A full rebuild remaps and REWRITES every canonical edge and vertex
     * after every incremental batch, even though a batch's linking usually
     * merges only a handful of components with prior state. Delta
-    * compaction diffs the stored canonical map (`canonical_map`, the CC
-    * output over the cumulative alias set as of the previous batch)
-    * against the new one and touches only what that diff reaches:
+    * compaction computes the new canonical map INCREMENTALLY — a seeded
+    * CC over {prior-map star edges of the touched components ∪ the
+    * batch's alias pairs} ([[graft.kg.stages.Canonicalize.incrementalComponents]]),
+    * so the per-batch linking compute scales with the batch and the
+    * components it touches, never with cumulative alias history — and
+    * then touches only what the resulting map diff reaches:
     *
     *  1. Affected names = names whose canonical mapping differs under the
     *     map diff (the merged components) ∪ every name of the BATCH's own
@@ -325,7 +372,7 @@ final class Pipeline(
     *     rows are not merged from the batch-local map at all — the
     *     batch's linking ran over its own alias universe, and universe
     *     growth can evict pairs (top-K per probe, band-bucket cap) that
-    *     the cumulative alias table still holds, so the batch-local image
+    *     the cumulative alias graph still holds, so the batch-local image
     *     may disagree with the cumulative map at names the diff never
     *     flags. All canonical state is derived HERE, from cumulative
     *     base edges + cumulative map.
@@ -355,7 +402,8 @@ final class Pipeline(
     * components' reach. Equivalence with [[compact]] is asserted
     * table-for-table in CompactionSuite (broadcast and salted configs). */
   private def compactDelta(spark: SparkSession, io: GraphTableIO,
-      batchEdges: Dataset[RelatesToEdge]): Unit = {
+      batchEdges: Dataset[RelatesToEdge],
+      batchAliases: Dataset[AliasPair]): Unit = {
     import Pipeline.NumBuckets
     import spark.implicits._
     // no stored canonical map (a store written before the table existed):
@@ -366,21 +414,29 @@ final class Pipeline(
     // old canonical was a different name hashing to a different bucket).
     // Recover with one full rebuild, which also seeds canonical_map.
     if (!io.exists(spark, "canonical_map")) { compact(spark, io); return }
-    val allAliases = io.read(spark, "aliases").as[AliasPair]
-    // CC over the cumulative alias set: LINKED names only (non-identity).
-    // Small relative to the mention vocabulary — localCheckpoint pins it
-    // (it is read several times below and canonical_map is overwritten
-    // under its own scan otherwise).
-    val newCC = Canonicalize.connectedComponents(allAliases).toDF()
-      .localCheckpoint()
-    val oldCC = io.read(spark, "canonical_map")
-    val changed = oldCC.select($"name", $"canonicalName".as("oldC"))
-      .join(newCC.select($"name", $"canonicalName".as("newC")), Seq("name"), "full_outer")
-      .filter(!(coalesce($"oldC", $"name") <=> coalesce($"newC", $"name")))
-      .select($"name")
+    // join-strategy governance: ALL the map-side (and batch-derived-set)
+    // joins below broadcast by default; under saltedCanonicalJoin — the
+    // regime where the linked-name set outgrows executor memory — every
+    // one of them falls back to a planner-chosen shuffle join, the same
+    // trade canonicalEdges / canonicalMap / vertices already make. The
+    // delta-compaction path is exactly where the map is biggest, so a
+    // forced broadcast here would OOM first.
+    def hinted(df: DataFrame): DataFrame =
+      if (config.saltedCanonicalJoin) df else broadcast(df)
+    val oldCC = io.read(spark, "canonical_map").select($"name", $"canonicalName")
+    // SEEDED incremental CC: solve over {touched-component star edges ∪
+    // batch alias pairs} — O(batch + touched members), not O(alias
+    // history); untouched components are copied verbatim. The result is
+    // provably identical to CC over the cumulative alias table (see
+    // Canonicalize.incrementalComponents), which CompactionSuite asserts
+    // table-for-table against the full rebuild. localCheckpoint pins the
+    // new map (consumed several times below, and canonical_map is
+    // overwritten under its own scan otherwise).
+    val inc = Canonicalize.incrementalComponents(oldCC, batchAliases, hinted)
+    val newCC = inc.newMap.localCheckpoint()
     // affected = map-diff names ∪ the batch's own edge names (whose
     // canonical rows are created by this rebuild — see the Scaladoc)
-    val affectedNames = changed
+    val affectedNames = inc.changed
       .unionByName(batchEdges.toDF()
         .select(explode(array($"subj", $"pred", $"obj")).as("name")))
       .distinct()
@@ -388,7 +444,7 @@ final class Pipeline(
     if (!affectedNames.isEmpty) {
       val base = io.read(spark, "edges")
         .select("subj", "pred", "obj", "label", "sourceChunkId")
-      val mark = broadcast(affectedNames)
+      val mark = hinted(affectedNames)
       // map-only pass 1: base edges touching any affected name
       def touched(c: String) = col(s"t_$c").isNotNull
       val affected = Seq("subj", "pred", "obj").foldLeft(base) { (df, c) =>
@@ -396,8 +452,8 @@ final class Pipeline(
       }.filter(touched("subj") || touched("pred") || touched("obj"))
       // affected target partitions: old AND new canonical images of the
       // affected predicates decide where stale rows live / new rows land
-      val oldMapP = broadcast(oldCC.select($"name".as("pred"), $"canonicalName".as("oc")))
-      val newMapP = broadcast(newCC.select($"name".as("pred"), $"canonicalName".as("nc")))
+      val oldMapP = hinted(oldCC.select($"name".as("pred"), $"canonicalName".as("oc")))
+      val newMapP = hinted(newCC.select($"name".as("pred"), $"canonicalName".as("nc")))
       val buckets = affected.select($"pred")
         .join(oldMapP, Seq("pred"), "left").join(newMapP, Seq("pred"), "left")
         .select(explode(array(
@@ -433,7 +489,7 @@ final class Pipeline(
       val refreshed = io.read(spark, "vertices")
         .filter($"nbucket".isin(nbuckets: _*)) // partition-pruned read
         .drop("canonicalName")
-        .join(broadcast(newCC.select($"name", $"canonicalName".as("cn"))),
+        .join(hinted(newCC.select($"name", $"canonicalName".as("cn"))),
           Seq("name"), "left")
         .select($"name", coalesce($"cn", $"name").as("canonicalName"),
           $"vec", $"tripletPart", $"nbucket")

@@ -205,6 +205,82 @@ object Canonicalize {
       .as[CanonicalMapping]
   }
 
+  /** Result of an incremental CC solve: the new canonical map (all
+    * non-identity rows), the names whose mapping changed vs the old map,
+    * and (for observability/tests) the seed edge set the solve actually
+    * ran over — O(batch + touched-component members), not O(history). */
+  final case class IncrementalCC(
+      newMap: DataFrame, // (name, canonicalName), non-identity
+      changed: DataFrame, // (name)
+      seed: Dataset[AliasPair])
+
+  /** Incremental connected components over a growing alias graph — the
+    * per-batch form of [[connectedComponents]] (reference anchor: the
+    * reference links each triplet against cumulative graph state
+    * incrementally, `triplets.py:252-343`, never a global recompute).
+    *
+    * `oldMap` is the CC output over the cumulative alias set as of the
+    * previous batch (non-identity rows only); `newPairs` are the batch's
+    * alias pairs. A canonical map is a SPANNING structure of its
+    * components — every member reaches the component min through one star
+    * edge — so CC over {oldMap-as-edges ∪ newPairs} has exactly the
+    * connectivity (and mins) of CC over the full cumulative pair set, and
+    * only components TOUCHED by a new pair can change. The solve
+    * therefore runs over O(batch + touched-component members) edges
+    * instead of O(alias history), and the O(history) full-outer map diff
+    * is unnecessary: names outside the touched components are copied
+    * verbatim, hence unchanged by construction.
+    *
+    *  1. touched canonicals = old canonical of every name in `newPairs`
+    *     (identity for names the old map doesn't hold);
+    *  2. seed = star edges of the touched components ∪ `newPairs`;
+    *  3. newMap = CC(seed) ∪ untouched old rows; changed = diff of the
+    *     touched rows vs CC(seed) — both O(touched), small.
+    *
+    * The old-map scans stay map-only when `smallHint = broadcast` (the
+    * probe sets are batch-bounded); pass identity for the regime where
+    * even batch-derived sets should not be broadcast — the joins then
+    * fall to planner-chosen shuffles, the same trade every other
+    * canonical-map join makes under `saltedCanonicalJoin`. */
+  def incrementalComponents(
+      oldMap: DataFrame, // (name, canonicalName), non-identity rows
+      newPairs: Dataset[AliasPair],
+      smallHint: DataFrame => DataFrame = broadcast): IncrementalCC = {
+    val spark = oldMap.sparkSession
+    import spark.implicits._
+    val old = oldMap.select(col("name"), col("canonicalName"))
+    val pairs = newPairs.select(col("a"), col("b")).where(col("a") =!= col("b"))
+    // pinned: each is consumed by 2-3 downstream joins, and re-running
+    // `pairs` would re-execute the batch's linking DAG
+    val batchNames = pairs.select(explode(array(col("a"), col("b"))).as("name"))
+      .distinct().localCheckpoint() // O(batch)
+    val hit = old.join(smallHint(batchNames), Seq("name"), "left_semi")
+      .localCheckpoint() // O(batch): old rows of the batch's names
+    val touchedCanon = hit.select(col("canonicalName").as("c"))
+      .unionByName(batchNames.join(hit.select(col("name")), Seq("name"), "left_anti")
+        .select(col("name").as("c"))) // unmapped batch names: canonical = self
+      .distinct().localCheckpoint() // O(batch) component ids
+    val touchedKey = touchedCanon.select(col("c").as("canonicalName"))
+    val touchedRows = old
+      .join(smallHint(touchedKey), Seq("canonicalName"), "left_semi")
+      .localCheckpoint() // O(touched-component members)
+    val seed = touchedRows
+      .select(col("canonicalName").as("a"), col("name").as("b"),
+        lit(1.0).as("score")).as[AliasPair]
+      .unionByName(pairs.withColumn("score", lit(1.0)).as[AliasPair])
+    val solved = connectedComponents(seed).toDF().localCheckpoint()
+    val untouched = old
+      .join(smallHint(touchedKey), Seq("canonicalName"), "left_anti")
+      .select(col("name"), col("canonicalName"))
+    val newMap = untouched.unionByName(solved.select(col("name"), col("canonicalName")))
+    val changed = touchedRows.select(col("name"), col("canonicalName").as("oldC"))
+      .join(solved.select(col("name"), col("canonicalName").as("newC")),
+        Seq("name"), "full_outer")
+      .filter(!(coalesce(col("oldC"), col("name")) <=> coalesce(col("newC"), col("name"))))
+      .select(col("name"))
+    IncrementalCC(newMap, changed, seed)
+  }
+
   /** Full canonical map over a mention set: identity for unlinked names.
     * The CC output holds only the LINKED names (a small subset of the
     * mention vocabulary — alias clusters are rare relative to distinct

@@ -112,6 +112,121 @@ class CompactionSuite extends AnyFunSuite {
     }
   }
 
+  test("a crashed batch is healed by the next batch's forced full rebuild") {
+    val s = spark; import s.implicits._
+    val cfg = GraftConfig(linkMode = "lsh", linkThreshold = 0.7)
+    val root = java.nio.file.Files.createTempDirectory("graftcrash").toString
+    val io = new ParquetTableIO(root)
+    new Pipeline(cfg).materialize(spark.createDataset(batches(0)), io)
+    new Pipeline(cfg).materialize(spark.createDataset(batches(1)), io)
+    // simulate a crash DURING batch 2 after the base merges: canonical
+    // state destroyed, the in-flight marker still set (materialize only
+    // clears it after the compaction completes)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/canonical_edges"), true)
+    io.setFlag(spark, "batch_inflight")
+    // the retry contract: re-run the failed batch as-is. The marker forces
+    // ONE full canonical rebuild from the cumulative base tables — a plain
+    // delta pass would only rebuild the buckets this batch's names reach,
+    // leaving every other canonical_edges partition missing.
+    new Pipeline(cfg).materialize(spark.createDataset(batches(1)), io)
+    assert(!io.flagSet(spark, "batch_inflight"), "marker not cleared")
+    new Pipeline(cfg).materialize(spark.createDataset(batches(2)), io)
+    val full = ingest(GraftConfig(linkMode = "lsh", linkThreshold = 0.7,
+      fullCompaction = true))
+    Seq("canonical_edges", "vertices", "canonical_map").foreach { t =>
+      assert(state(io, t) == state(full, t), s"$t diverged after crash recovery")
+    }
+  }
+
+  test("writer lock: a second concurrent writer fails fast; lease released") {
+    val s = spark; import s.implicits._
+    val cfg = GraftConfig(linkMode = "lsh", linkThreshold = 0.7)
+    val root = java.nio.file.Files.createTempDirectory("graftlock").toString
+    val io = new ParquetTableIO(root)
+    // a foreign writer holds the lease
+    new java.io.File(root).mkdirs()
+    val lock = new java.io.File(root, "_writer.lock")
+    assert(lock.createNewFile())
+    val e = intercept[IllegalStateException] {
+      new Pipeline(cfg).materialize(spark.createDataset(batches(0)), io)
+    }
+    assert(e.getMessage.contains("locked"), s"wrong error: ${e.getMessage}")
+    assert(!new java.io.File(root).listFiles().exists(_.getName == "edges"),
+      "locked-out writer still wrote tables")
+    // lease released → ingest proceeds, and releases its own lease after
+    assert(lock.delete())
+    new Pipeline(cfg).materialize(spark.createDataset(batches(0)), io)
+    assert(!lock.exists(), "writer did not release its lease")
+    assert(io.exists(spark, "edges"))
+  }
+
+  test("salted config: zero broadcast exchanges across an incremental batch") {
+    val s = spark; import s.implicits._
+    val cfg = GraftConfig(linkMode = "lsh", linkThreshold = 0.7,
+      saltedCanonicalJoin = true)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    // with auto-broadcast disabled, any BroadcastExchange in an executed
+    // plan can only come from an explicit broadcast() hint — which the
+    // salted config promises NOT to issue anywhere on the canonical path
+    // (the regime where the linked-name set outgrows executor memory)
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.listenerManager.register(listener)
+    try {
+      val io = new ParquetTableIO(
+        java.nio.file.Files.createTempDirectory("graftsaltplan").toString)
+      batches.foreach(b =>
+        new Pipeline(cfg).materialize(spark.createDataset(b), io))
+      // drain the async listener bus: poll until the captured set is stable
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        if (plans.size() == last) stable += 1 else { stable = 0; last = plans.size() }
+      }
+      assert(plans.size() > 0, "listener captured no executions")
+      val offending = plans.toArray(Array.empty[String])
+        .filter(_.contains("BroadcastExchange"))
+      assert(offending.isEmpty,
+        s"broadcast under salted config (first plan):\n${offending.headOption.getOrElse("")}")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  test("aliases table is pruned to spanning structure and stops growing") {
+    val s = spark; import s.implicits._
+    val cfg = GraftConfig(linkMode = "lsh", linkThreshold = 0.7)
+    val io = ingest(cfg)
+    val mapRows = io.read(spark, "canonical_map").count()
+    assert(io.read(spark, "aliases").count() == mapRows,
+      "aliases not pruned to one star edge per linked name")
+    // re-ingesting the SAME corpora adds zero net rows (idempotent MERGE
+    // + prune): the pair log cannot grow under overlapping re-ingest
+    batches.foreach(b =>
+      new Pipeline(cfg).materialize(spark.createDataset(b), io))
+    assert(io.read(spark, "aliases").count() == mapRows,
+      "aliases table grew under repeated overlapping ingest")
+    assert(io.read(spark, "canonical_map").count() == mapRows)
+  }
+
   test("overwritePartitions swaps only the listed partitions on storage") {
     val s = spark; import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("graftparts").toString

@@ -74,6 +74,67 @@ class ConnectedComponentsSuite extends AnyFunSuite {
     checkGraph(a ++ b, "cliques")
   }
 
+  test("incremental CC == full CC on random two-batch graphs") {
+    val s = spark; import s.implicits._
+    val rnd = new Random(77)
+    for (trial <- 1 to 5) {
+      val n = 10 + rnd.nextInt(40)
+      def randEdges(k: Int) = (1 to k)
+        .map(_ => (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+        .filter(e => e._1 != e._2)
+      val batch1 = randEdges(1 + rnd.nextInt(n))
+      val batch2 = randEdges(1 + rnd.nextInt(n))
+      if (batch1.nonEmpty && batch2.nonEmpty) {
+        val oldMap = bruteForce(batch1).toSeq.filter(p => p._1 != p._2)
+          .toDF("name", "canonicalName")
+        val pairs = spark.createDataset(
+          batch2.map { case (a, b) => AliasPair(a, b, 1.0) })
+        val inc = Canonicalize.incrementalComponents(oldMap, pairs)
+        val got = inc.newMap.collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        val expected = bruteForce(batch1 ++ batch2).filter(p => p._1 != p._2)
+        val gotFull = expected.keys.map(k => k -> got.getOrElse(k, k)).toMap
+        assert(gotFull == expected, s"trial$trial: seeded CC != full CC")
+        // no spurious rows: every newMap row is a real non-identity mapping
+        assert(got.forall { case (k, v) => expected.get(k).contains(v) },
+          s"trial$trial: newMap has rows full CC does not")
+        // changed ⊇ every name whose mapping actually differs
+        val changed = inc.changed.collect().map(_.getString(0)).toSet
+        val oldFull = bruteForce(batch1)
+        val reallyChanged = (expected.keySet ++ oldFull.keySet).filter { k =>
+          expected.getOrElse(k, k) != oldFull.getOrElse(k, k)
+        }
+        assert(reallyChanged.subsetOf(changed),
+          s"trial$trial: changed misses ${reallyChanged -- changed}")
+      }
+    }
+  }
+
+  test("incremental CC seed is O(batch + touched components), not O(history)") {
+    val s = spark; import s.implicits._
+    // 500 prior components of 3 members each; the batch touches TWO
+    val oldMap = (0 until 500).flatMap { c =>
+      Seq((f"c$c%04d_b", f"c$c%04d_a"), (f"c$c%04d_c", f"c$c%04d_a"))
+    }.toDF("name", "canonicalName")
+    val pairs = spark.createDataset(Seq(
+      AliasPair("c0003_b", "c0400_c", 1.0), // merges components 3 and 400
+      AliasPair("zz_new1", "zz_new2", 1.0))) // brand-new component
+    val inc = Canonicalize.incrementalComponents(oldMap, pairs)
+    // seed = 2 touched components × 2 star edges + 2 batch pairs
+    assert(inc.seed.count() == 6,
+      s"seed not bounded by touched components: ${inc.seed.count()} edges")
+    val got = inc.newMap.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // merged component canonicalizes to the overall min
+    assert(got("c0400_a") == "c0003_a" && got("c0400_c") == "c0003_a" &&
+      got("c0003_b") == "c0003_a" && got("zz_new2") == "zz_new1")
+    // untouched components verbatim
+    // 998 untouched rows + 5 merged-component rows + 1 new-pair row
+    assert(got("c0123_b") == "c0123_a" && got.size == 498 * 2 + 5 + 1)
+    val changed = inc.changed.collect().map(_.getString(0)).toSet
+    assert(changed == Set("c0400_a", "c0400_b", "c0400_c", "zz_new2"),
+      s"changed set wrong: $changed")
+  }
+
   test("upstream alias DAG computes each edge once across probe + barrier") {
     val s = spark; import s.implicits._
     // instrument the alias source: the accumulator counts every time a row
