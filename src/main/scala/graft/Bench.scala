@@ -110,6 +110,38 @@ object Bench {
       }
     }
 
+    // The same three queries at a NON-planning-bound store (VERDICT r3
+    // #6): the sf store holds ~2k chunks, so its query wall time is
+    // Catalyst planning, not scanning — the pruned layouts' latency win
+    // only shows where the scan dominates. One ~250k-doc store is
+    // materialized (exact link mode — linking does not affect these
+    // query paths), then each path is timed as median-of-3 after one
+    // codegen warm-up run.
+    {
+      val storeRoot = java.nio.file.Files
+        .createTempDirectory("graft_bench_bigstore").toString
+      val bigCorpus = kg.fixtures.CorpusGen
+        .generateDistributed(spark, 1050, 240, seed = 42L)
+        .repartition(cpus.toInt * 4)
+      val rag = new graft.kg.GraphRag(spark,
+        new graft.kg.pipeline.ParquetTableIO(storeRoot),
+        GraftConfig(linkMode = "exact"))
+      val ingestSec = time { rag.ingest(bigCorpus) }
+      results += "kg_ingest_250k_store" -> ingestSec
+      def med3(f: => Unit): Double = { f; (1 to 3).map(_ => time(f)).sorted.apply(1) }
+      val q = "utils imports module parseTree"
+      results += "kg_query_big_hybrid_exact" -> med3 {
+        rag.query(q, includeTriplets = false).chunks.count()
+      }
+      results += "kg_query_big_hybrid_ann" -> med3 {
+        rag.query(q, includeTriplets = false, vectorMode = "ann").chunks.count()
+      }
+      results += "kg_query_big_relationship_indexed" -> med3 {
+        rag.query("What does Utils use?", includeTriplets = true)
+          .triplets.foreach(_.count())
+      }
+    }
+
     // a failed headline query must be visible in the JSON, not just a
     // stderr note — otherwise broken queries publish plausible numbers
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -88,14 +88,19 @@ object Queries {
         .relationshipSearch(r.edges.toDF(), "What does Utils use?")
     }),
     "kg_vector_ann" -> ((s: SparkSession, dir: String) => {
-      // ANN vector search over the in-flight sign-sketch layout — checked
-      // against the independent straight-line KgOracle.vectorAnn spec
+      // ANN vector search over the in-flight sign-sketch layout with
+      // per-plane MEDIAN thresholds (the balanced-bucket default) —
+      // checked against the independent straight-line KgOracle.vectorAnn
+      // spec, which recomputes the medians with the same interpolation
       val r = kgResult(s, dir, "exact")
       val emb = new graft.kg.embed.HashEmbedder()
-      val idx = graft.kg.retrieve.VectorIndex.layout(
+      val thr = graft.kg.retrieve.VectorIndex.computeThresholds(
         r.chunkEmbeddings.toDF(), emb.dim)
+      val idx = graft.kg.retrieve.VectorIndex.layout(
+        r.chunkEmbeddings.toDF(), emb.dim, thr)
       new graft.kg.retrieve.Retrieval(emb)
-        .vectorSearchAnn(idx, r.chunks, "utils imports module parseTree")
+        .vectorSearchAnn(idx, r.chunks, "utils imports module parseTree",
+          thresholds = thr)
     }),
     "kg_canonical_lsh" -> ((s: SparkSession, dir: String) => {
       // the reference's 0.96 cosine threshold is calibrated to E5

@@ -24,6 +24,7 @@ import org.apache.spark.sql.SparkSession
 object ScalingBench {
 
   def main(args: Array[String]): Unit = {
+    if (args.contains("incr")) { incremental(args); return }
     val nums = args.filter(_.forall(_.isDigit)).map(_.toInt)
     val mode = args.find(a => a == "lsh" || a == "exact").getOrElse("exact")
     val cores = nums.headOption.getOrElse(8)
@@ -90,6 +91,71 @@ object ScalingBench {
         s""""edges":$edges,"sec":${f"$sec%.2f"},""" +
         s""""all_secs":[${secs.map(x => f"$x%.2f").mkString(",")}],""" +
         s""""files_per_sec":${f"${nDocs / sec}%.1f"}}""")
+    spark.stop()
+  }
+
+  /** Incremental-ingest series (VERDICT r3 #1 done-criterion): B equal
+    * disjoint batches into ONE store, per-batch wall clock reported for
+    * the DELTA path (seeded incremental CC + partition-selective
+    * compaction + pruned aliases) and, for contrast, the FULL path
+    * (global CC + whole-table canonical rebuild every batch — the
+    * O(history)-per-batch shape the delta path replaces). The delta
+    * series should stay ~flat as the store grows; the full series grows
+    * with cumulative history. Residual growth in the delta series is the
+    * parquet MERGE emulation (existing ∪ delta full rewrite, documented
+    * in GraphTableIO) — the Iceberg production target makes those writes
+    * file-selective as well.
+    *
+    * Usage: runMain graft.ScalingBench incr [batches] [reposPerBatch]
+    *        [filesPerRepo] [cores] */
+  private def incremental(args: Array[String]): Unit = {
+    val nums = args.filter(_.forall(_.isDigit)).map(_.toInt)
+    val batches = nums.lift(0).getOrElse(8)
+    val reposPerBatch = nums.lift(1).getOrElse(120)
+    val files = nums.lift(2).getOrElse(40)
+    val cores = nums.lift(3).getOrElse(8)
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-incr-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def series(cfg: GraftConfig, label: String): Seq[Double] = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_incr_$label").toString
+      val io = new graft.kg.pipeline.ParquetTableIO(root)
+      (0 until batches).map { b =>
+        val corpus = graft.kg.fixtures.CorpusGen
+          .generateDistributed(spark, reposPerBatch, files, seed = 42L,
+            repoOffset = 1 + b * reposPerBatch) // skip repo 0 (10x mega-repo)
+          .repartition(cores).cache()
+        corpus.count() // input materialized outside the timed span
+        val t0 = System.nanoTime()
+        new Pipeline(cfg).materialize(corpus, io)
+        val sec = (System.nanoTime() - t0) / 1e9
+        corpus.unpersist(blocking = false)
+        System.err.println(f"[incr] $label batch $b: $sec%.2f s")
+        sec
+      }
+    }
+
+    val base = GraftConfig(linkMode = "lsh", linkThreshold = 0.85)
+    val delta = series(base, "delta")
+    val full = series(base.copy(fullCompaction = true), "full")
+    def fmt(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    // growth = mean of last two / mean of first two (steal-robust-ish)
+    def growth(xs: Seq[Double]) =
+      (xs.takeRight(2).sum / 2) / (xs.take(2).sum / 2)
+    println(
+      s"""{"metric":"kg_incremental","batches":$batches,""" +
+        s""""docs_per_batch":${reposPerBatch * files},"cores":$cores,""" +
+        s""""delta_secs":${fmt(delta)},"full_secs":${fmt(full)},""" +
+        s""""delta_growth":${f"${growth(delta)}%.2f"},""" +
+        s""""full_growth":${f"${growth(full)}%.2f"}}""")
     spark.stop()
   }
 }

@@ -32,8 +32,11 @@ final class GraphRag(
   /** `graphrag process`: ingest a corpus batch into the graph tables
     * (idempotent MERGE; incremental linking in lsh mode). Returns stage
     * counters. */
-  def ingest(corpus: Dataset[CorpusRow]): Map[String, Long] =
-    pipeline.materialize(corpus, io)
+  def ingest(corpus: Dataset[CorpusRow]): Map[String, Long] = {
+    dropCaches() // the batch rewrites tables and may create the sidecar
+    try pipeline.materialize(corpus, io)
+    finally dropCaches() // handles opened before the swap are now stale
+  }
 
   /** Streaming `graphrag process`: corpus rows arriving on a stream are
     * ingested micro-batch-wise through the SAME incremental pipeline as
@@ -64,17 +67,57 @@ final class GraphRag(
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[CorpusRow], _: Long) =>
         // an empty replay/no-op tick must not pay a full pipeline pass
-        if (!batch.isEmpty) { pipeline.materialize(batch, io); () }
+        if (!batch.isEmpty) {
+          try pipeline.materialize(batch, io)
+          finally dropCaches() // queries on this facade see the new swap
+          ()
+        }
       }
       .start()
 
+  /** Cached table handles: every `io.read` builds a fresh file listing —
+    * at 100 TB that lookup is the metastore's job (Iceberg manifests),
+    * and even in the parquet emulation re-listing the 1024-dir ANN index
+    * per query was measured at ~0.5 s of pure overhead. A handle's
+    * listing snapshot goes stale when the store is rewritten, so
+    * [[ingest]]/[[reset]] drop the cache (single-writer contract — an
+    * external writer to the same root requires a fresh facade). */
+  private val tableCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def table(name: String): DataFrame =
+    tableCache.getOrElseUpdate(name, io.read(spark, name))
+  private def dropCaches(): Unit = {
+    tableCache.clear()
+    annThresholdsCache = null
+  }
+
   private def chunksDs = {
     import spark.implicits._
-    io.read(spark, "chunks").as[Chunk]
+    table("chunks").as[Chunk]
+  }
+
+  /** Per-plane median thresholds of the stored ANN layout (the
+    * `chunk_vec_meta` sidecar — 32 rows). FROZEN once an index exists,
+    * so caching per facade instance is safe; [[ingest]]/[[reset]] drop
+    * the cache in case they created or truncated the sidecar. Absent on
+    * legacy stores → zero thresholds = the raw-sign layout. */
+  @volatile private var annThresholdsCache: Array[Double] = null
+  private def annThresholds: Array[Double] = {
+    val cached = annThresholdsCache
+    if (cached != null) cached
+    else {
+      val t =
+        if (io.exists(spark, "chunk_vec_meta"))
+          io.read(spark, "chunk_vec_meta").orderBy("pid")
+            .collect().map(_.getAs[Double]("threshold"))
+        else graft.kg.retrieve.VectorIndex.zeroThresholds
+      annThresholdsCache = t
+      t
+    }
   }
   private def embeddingsDs = {
     import spark.implicits._
-    io.read(spark, "chunk_embeddings").as[ChunkEmbedding]
+    table("chunk_embeddings").as[ChunkEmbedding]
   }
 
   /** `graphrag query` (reference defaults: hybrid retrieval +
@@ -102,7 +145,7 @@ final class GraphRag(
       idfWeighting: Boolean = false,
       ranking: String = "",
       vectorMode: String = "exact"): QueryResult = {
-    val terms = io.read(spark, "terms")
+    val terms = table("terms")
     val rank = if (ranking.nonEmpty) ranking else if (idfWeighting) "idf" else "tf"
     def termHits = rank match {
       case "idf"  => retrieval.termSearchIdf(terms, chunksDs, q, topK)
@@ -110,9 +153,15 @@ final class GraphRag(
       case _      => retrieval.termSearch(terms, chunksDs, q, topK)
     }
     val vectorHits =
-      if (vectorMode == "ann" && io.exists(spark, "chunk_vec_index"))
+      if (vectorMode == "ann" && io.exists(spark, "chunk_vec_index") &&
+          // a sidecar from a DIFFERENT index geometry (plane count
+          // mismatch) means the store predates the current layout —
+          // fall back to the exact scan until an ingest/rebuild migrates
+          // the index (Pipeline's geometry-upgrade path)
+          annThresholds.length == graft.kg.retrieve.VectorIndex.NumPlanes)
         Some(retrieval.vectorSearchAnn(
-          io.read(spark, "chunk_vec_index"), chunksDs, q, topK))
+          table("chunk_vec_index"), chunksDs, q, topK,
+          thresholds = annThresholds))
       else None
     val hits =
       if (withContext) {
@@ -130,8 +179,8 @@ final class GraphRag(
         // before the index existed
         Some(if (io.exists(spark, "edge_entity_index"))
           retrieval.relationshipSearchIndexed(
-            io.read(spark, "edge_entity_index"), q, topK)
-        else retrieval.relationshipSearch(io.read(spark, "edges"), q, topK))
+            table("edge_entity_index"), q, topK)
+        else retrieval.relationshipSearch(table("edges"), q, topK))
       else None
     QueryResult(hits, triplets)
   }
@@ -173,7 +222,8 @@ final class GraphRag(
   /** `graphrag stats`: table row counts (the reference's node/rel
     * counts, `cli/main.py:90-104`). */
   def stats(): Map[String, Long] =
-    Seq("chunks", "chunk_embeddings", "chunk_vec_index", "terms", "edges",
+    Seq("chunks", "chunk_embeddings", "chunk_vec_index", "chunk_vec_meta",
+      "terms", "edges",
       "edge_entity_index", "canonical_edges", "vertices", "aliases")
       .filter(io.exists(spark, _))
       .map(t => t -> io.read(spark, t).count()).toMap
@@ -182,8 +232,10 @@ final class GraphRag(
     * graph tables. The empty frame is materialized from the schema (not a
     * limit(0) of the table itself — overwriting a path from a plan that
     * reads the same path is undefined). */
-  def reset(): Unit =
-    Seq("chunks", "chunk_embeddings", "chunk_vec_index", "terms", "edges",
+  def reset(): Unit = {
+    dropCaches()
+    Seq("chunks", "chunk_embeddings", "chunk_vec_index", "chunk_vec_meta",
+      "terms", "edges",
       "edge_entity_index", "canonical_edges", "canonical_map", "vertices",
       "aliases").foreach { t =>
       if (io.exists(spark, t)) {
@@ -193,6 +245,7 @@ final class GraphRag(
         io.overwrite(spark, t, empty)
       }
     }
+  }
 }
 
 object GraphRag {

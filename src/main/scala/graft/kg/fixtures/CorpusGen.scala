@@ -150,10 +150,16 @@ object CorpusGen {
       spark: org.apache.spark.sql.SparkSession,
       repos: Int,
       filesPerRepo: Int,
-      seed: Long = 42L): org.apache.spark.sql.Dataset[CorpusRow] = {
+      seed: Long = 42L,
+      repoOffset: Int = 0): org.apache.spark.sql.Dataset[CorpusRow] = {
     import spark.implicits._
     spark.range(0, repos.toLong)
-      .flatMap { r =>
+      .flatMap { r0 =>
+        // repoOffset slices the same deterministic corpus space into
+        // DISJOINT repo ranges — the incremental bench ingests
+        // [offset, offset+repos) per batch, so batches never collide on
+        // docIds while still sharing the global entity vocabulary
+        val r = r0 + repoOffset
         val mixed = seed ^ (r * 0x9E3779B97F4A7C15L) // splitmix64 increment
         repoRows(new Random(mixed), r.toInt, filesPerRepo, truth = null)
       }

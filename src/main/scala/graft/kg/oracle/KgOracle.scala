@@ -307,8 +307,8 @@ object KgOracle {
       * of md5("<pid>_<i>") is odd; L tables × K bits; query probes its
       * sketch plus every Hamming-1 bucket; candidates re-scored exact):
       * deliberately independent of `graft.kg.retrieve.VectorIndex`. */
-    def vectorAnn(query: String, topK: Int = 10, probeRadius: Int = 1,
-        nTables: Int = 4, bits: Int = 6): Vector[(String, Double, String)] = {
+    def vectorAnn(query: String, topK: Int = 10, probesPerTable: Int = 32,
+        nTables: Int = 4, bits: Int = 8): Vector[(String, Double, String)] = {
       val qv = embedder.embedQuery(query)
       val dim = qv.length
       def planeW(pid: Int): Array[Float] = {
@@ -319,15 +319,43 @@ object KgOracle {
         }
       }
       val planes = Vector.tabulate(nTables * bits)(planeW)
+      // per-plane MEDIAN projection threshold over the indexed chunk set
+      // (the balanced-bucket layout): exact percentile at p = 0.5 with
+      // Spark's interpolation — position 0.5·(n−1) in the sorted
+      // projections, linear between the bracketing values
+      val chunkIds = chunks.map(_.chunkId)
+      val thresholds: Vector[Double] = Vector.tabulate(nTables * bits) { pid =>
+        val projs = chunkIds.map(cid => Embedder.dot(chunkVecs(cid), planes(pid)))
+          .sorted
+        if (projs.isEmpty) 0.0
+        else {
+          val pos = 0.5 * (projs.length - 1)
+          val lo = pos.toInt
+          if (lo == projs.length - 1) projs(lo)
+          else projs(lo) + (pos - lo) * (projs(lo + 1) - projs(lo))
+        }
+      }
       def sketch(v: Array[Float], l: Int): Int =
         (0 until bits).map { p =>
-          if (Embedder.dot(v, planes(l * bits + p)) > 0) 1 << p else 0
+          val pid = l * bits + p
+          if (Embedder.dot(v, planes(pid)) > thresholds(pid)) 1 << p else 0
         }.sum
-      val masks = (0 until (1 << bits))
-        .filter(m => Integer.bitCount(m) <= probeRadius)
+      // query-directed multi-probe: per table, rank masks by the summed
+      // squared margin of the flipped bits ((loss, mask) key — the same
+      // deterministic order as VectorIndex.queryBuckets) and probe the
+      // cheapest probesPerTable of them
       val probed: Set[(Int, Int)] = (0 until nTables).flatMap { l =>
-        val base = sketch(qv, l)
-        masks.map(m => (l, base ^ m))
+        val margins = Array.tabulate(bits) { p =>
+          val pid = l * bits + p
+          Embedder.dot(qv, planes(pid)) - thresholds(pid)
+        }
+        val base = (0 until bits).map(p => if (margins(p) > 0) 1 << p else 0).sum
+        val ranked = (0 until (1 << bits)).sortBy { m =>
+          ((0 until bits)
+            .filter(p => (m & (1 << p)) != 0)
+            .map(p => margins(p) * margins(p)).sum, m)
+        }
+        ranked.take(probesPerTable).map(m => (l, base ^ m))
       }.toSet
       chunks
         .filter(c => (0 until nTables)

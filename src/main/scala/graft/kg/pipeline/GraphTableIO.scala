@@ -155,7 +155,9 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
     // Iceberg snapshot commit (`overwritePartitions`/dynamic partition
     // overwrite), where the swap is a single atomic metadata operation.
     val tmp = path(table) + "__tmpparts"
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp)
+    // same one-task-per-partition-dir clustering as writeSwap
+    df.repartition(org.apache.spark.sql.functions.col(partitionCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     partitions.distinct.foreach { v =>
@@ -170,11 +172,23 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
 
   /** Write via temp dir then swap — the source plan may read the table
     * being replaced (self-merge, compaction), so a direct overwrite would
-    * clobber its own input mid-scan. */
+    * clobber its own input mid-scan.
+    *
+    * Partitioned tables are clustered on their partition columns before
+    * the write (Iceberg's hash write-distribution mode): without it every
+    * shuffle task writes a sliver into every partition dir — the
+    * 256-partition vector index came out as ~8,000 small files, and
+    * every query re-listed all of them before pruning could discard any.
+    * Clustered, each dir is written by exactly one task → one file per
+    * partition dir. */
   private def writeSwap(spark: SparkSession, table: String, df: DataFrame,
       partitionCols: Seq[String]): Unit = {
     val tmp = path(table) + "__tmp"
-    val writer = df.write.mode(SaveMode.Overwrite)
+    val out =
+      if (partitionCols.nonEmpty)
+        df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    val writer = out.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(root)

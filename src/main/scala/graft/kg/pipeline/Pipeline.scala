@@ -224,10 +224,55 @@ final class Pipeline(
     // ANN scale path for O1 vector search: LSH sign-sketch layout of the
     // chunk embeddings under l=<table>/vbucket=<bucket> partition dirs
     // (Retrieval.vectorSearchAnn prunes to the query's probe buckets
-    // instead of scanning every vector; see retrieve/VectorIndex.scala)
-    io.merge(spark, "chunk_vec_index",
-      graft.kg.retrieve.VectorIndex.layout(r.chunkEmbeddings.toDF(), embedder.dim),
-      Seq("chunkId", "l"), Seq("l", "vbucket"))
+    // instead of scanning every vector; see retrieve/VectorIndex.scala).
+    // Per-plane MEDIAN thresholds balance bucket occupancy (hot-bucket
+    // row amplification otherwise defeats the pruning — VectorIndex doc);
+    // computed on the FIRST index build, persisted in the chunk_vec_meta
+    // sidecar, and FROZEN for later incremental merges — re-thresholding
+    // would invalidate the partitions already laid down (an index REBUILD
+    // recomputes them).
+    import graft.kg.retrieve.VectorIndex
+    def writeVecMeta(t: Array[Double]): Unit =
+      io.overwrite(spark, "chunk_vec_meta",
+        spark.createDataFrame(t.zipWithIndex.map { case (th, i) => (i, th) }.toSeq)
+          .toDF("pid", "threshold"))
+    val storedVecMeta: Option[Array[Double]] =
+      if (io.exists(spark, "chunk_vec_meta"))
+        Some(io.read(spark, "chunk_vec_meta").orderBy("pid")
+          .collect().map(_.getAs[Double]("threshold")))
+      else None
+    storedVecMeta match {
+      case Some(t) if t.length == VectorIndex.NumPlanes =>
+        // steady state: merge the batch under the frozen thresholds
+        io.merge(spark, "chunk_vec_index",
+          VectorIndex.layout(r.chunkEmbeddings.toDF(), embedder.dim, t),
+          Seq("chunkId", "l"), Seq("l", "vbucket"))
+      case Some(_) =>
+        // GEOMETRY UPGRADE: the stored sidecar was written under a
+        // different (L·K) layout — merging new rows bucketed under the
+        // current geometry into the old directories would corrupt the
+        // index. Rebuild it wholesale from the cumulative embeddings
+        // table (already merged above), under fresh medians.
+        val t = VectorIndex.computeThresholds(
+          io.read(spark, "chunk_embeddings"), embedder.dim)
+        writeVecMeta(t)
+        io.overwrite(spark, "chunk_vec_index",
+          VectorIndex.layout(io.read(spark, "chunk_embeddings"),
+            embedder.dim, t),
+          Seq("l", "vbucket"))
+      case None =>
+        // no sidecar: a PRE-EXISTING index was laid down by the legacy
+        // raw-sign code — pin zeros (median-splitting a half-written
+        // legacy layout would scatter new rows into the wrong dirs);
+        // a genuinely fresh store computes the medians
+        val t =
+          if (io.exists(spark, "chunk_vec_index")) VectorIndex.zeroThresholds
+          else VectorIndex.computeThresholds(r.chunkEmbeddings.toDF(), embedder.dim)
+        writeVecMeta(t)
+        io.merge(spark, "chunk_vec_index",
+          VectorIndex.layout(r.chunkEmbeddings.toDF(), embedder.dim, t),
+          Seq("chunkId", "l"), Seq("l", "vbucket"))
+    }
     // terms dedup on the MERGE key but KEEP the in-flight multiplicity as
     // a tf column — termSearch's documented score is TF summed per chunk,
     // which a bare dropDuplicates would silently turn into presence-count.

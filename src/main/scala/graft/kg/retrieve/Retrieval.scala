@@ -153,38 +153,61 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
     val qv = embedder.embedQuery(query)
     val scored = embeddings.toDF().select($"chunkId",
       graft.functions.VectorFunctions.dot_product($"vec", typedLit(qv)).as("score"))
+    // top-k BEFORE the text join: TakeOrderedAndProject on the scored
+    // scan, then a topK-row broadcast join — joining first would shuffle
+    // the full chunk table per query (Catalyst cannot push a limit
+    // through an inner join)
     scored
-      .join(chunks.toDF().select($"chunkId", $"text"), Seq("chunkId"))
       .orderBy($"score".desc, $"chunkId")
       .limit(topK)
+      .join(chunks.toDF().select($"chunkId", $"text"), Seq("chunkId"))
+      .orderBy($"score".desc, $"chunkId")
   }
 
   /** O1 vector search, ANN scale path: the query's LSH sign-sketch
-    * buckets (computed driver-side, [[VectorIndex.queryBuckets]]) become a
-    * LITERAL disjunction over the `(l, vbucket)` PARTITION columns of the
-    * `chunk_vec_index` layout — the scan partition-prunes to
-    * L·(1+probes) of the L·2^K directories instead of reading every chunk
-    * vector ([[vectorSearch]] is the exact full-scan baseline; the
-    * reference's Qdrant search is itself approximate HNSW,
-    * `retrieval.py:107-161`). Candidates are re-scored with the EXACT
-    * native dot product, so precision is 1.0 — only recall is
-    * approximate. */
+    * probe plan (query-directed multi-probe, computed driver-side —
+    * [[VectorIndex.queryBuckets]]) becomes a LITERAL disjunction over the
+    * `(l, vbucket)` PARTITION columns of the `chunk_vec_index` layout —
+    * the scan partition-prunes to L·probesPerTable of the L·2^K
+    * directories instead of reading every chunk vector
+    * ([[vectorSearch]] is the exact full-scan baseline; the reference's
+    * Qdrant search is itself approximate HNSW, `retrieval.py:107-161`).
+    * Candidates are re-scored with the EXACT native dot product, so
+    * precision is 1.0 — only recall is approximate (mean recall@10 vs
+    * read amplification measured in BENCH/BASELINE.md; defaults hit
+    * ~0.93 at ~0.8× the rows of the exact scan). */
   def vectorSearchAnn(vecIndex: DataFrame, chunks: Dataset[Chunk],
-      query: String, topK: Int = config.topK, probeRadius: Int = 1): DataFrame = {
+      query: String, topK: Int = config.topK,
+      probesPerTable: Int = VectorIndex.DefaultProbes,
+      thresholds: Array[Double] = VectorIndex.zeroThresholds): DataFrame = {
     val qv = embedder.embedQuery(query)
-    val pairs = VectorIndex.queryBuckets(qv, probeRadius)
-    val pred = pairs
-      .map { case (l, b) => col("l") === lit(l) && col("vbucket") === lit(b) }
-      .reduce(_ || _)
+    val pairs = VectorIndex.queryBuckets(qv, probesPerTable, thresholds)
+    // one isin per table instead of L·P equality disjuncts — the same
+    // partition pruning, a fraction of the predicate nodes to plan
+    val pred = pairs.groupBy(_._1).map { case (l, bs) =>
+      col("l") === lit(l) && col("vbucket").isin(bs.map(_._2).distinct: _*)
+    }.reduce(_ || _)
     vecIndex.filter(pred)
-      // a chunk colliding with the query in several tables is one candidate
-      .dropDuplicates("chunkId")
+      // score FIRST (map-only over the pruned scan), dedup after: a chunk
+      // colliding with the query in several tables carries the same score
+      // everywhere, and deduping on (chunkId, score) shuffles two narrow
+      // columns instead of the full embedding payload; the text join runs
+      // on the topK rows only (see vectorSearch)
       .select(col("chunkId"),
         graft.functions.VectorFunctions.dot_product(col("vec"), typedLit(qv))
           .as("score"))
-      .join(chunks.toDF().select(col("chunkId"), col("text")), Seq("chunkId"))
+      // a chunk appears at most once per table with an IDENTICAL score,
+      // so the K-th distinct chunk ranks within the top K·L rows —
+      // TakeOrdered(K·L) first, then dedup the ≤ K·L survivors: the
+      // dedup exchange moves dozens of rows instead of the full pruned
+      // candidate set
+      .orderBy(col("score").desc, col("chunkId"))
+      .limit(topK * VectorIndex.NumTables)
+      .dropDuplicates("chunkId")
       .orderBy(col("score").desc, col("chunkId"))
       .limit(topK)
+      .join(chunks.toDF().select(col("chunkId"), col("text")), Seq("chunkId"))
+      .orderBy(col("score").desc, col("chunkId"))
   }
 
   /** A3 min-max normalization with all-equal → 1.0
@@ -211,10 +234,19 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
       topK: Int = config.topK, vectorWeight: Double = config.vectorWeight,
       termHits: Option[DataFrame] = None,
       vectorHits: Option[DataFrame] = None): DataFrame = {
+    // pin each topK-row hit frame before composing: min-max normalize
+    // consumes its input through TWO branches (the min/max agg and the
+    // re-scored projection) and the merge join adds more — Catalyst does
+    // not dedupe common subtrees across branches, so without the pin
+    // every branch re-executes the full search subtree (measured ~2× the
+    // query latency at a 250k-chunk store). localCheckpoint on ≤ topK
+    // rows is a sub-ms materialization.
     val v = minMaxNormalize(
-      vectorHits.getOrElse(vectorSearch(embeddings, chunks, query, topK))).as("v")
+      vectorHits.getOrElse(vectorSearch(embeddings, chunks, query, topK))
+        .localCheckpoint()).as("v")
     val g = minMaxNormalize(
-      termHits.getOrElse(termSearch(terms, chunks, query, topK))).as("g")
+      termHits.getOrElse(termSearch(terms, chunks, query, topK))
+        .localCheckpoint()).as("g")
     v.select(col("chunkId"), col("score").as("vscore"), col("text").as("vtext"))
       .join(g.select(col("chunkId"), col("score").as("gscore"), col("text").as("gtext")),
         Seq("chunkId"), "full_outer")

@@ -22,12 +22,35 @@ import org.apache.spark.sql.functions._
   * the L tables; multi-probing (flipping one sketch bit — the buckets a
   * borderline plane projection lands in) trades read amplification for
   * recall without growing the stored index.
+  *
+  * MEDIAN-SPLIT THRESHOLDS (round-4 measurement): with the raw
+  * sign(dot(v, plane)) rule the hash-embedding vectors concentrate in a
+  * few hot buckets — the AnnSweep study measured ~75% of all rows
+  * living in the 11% of directories a default query probes, so the
+  * directory pruning was real but the ROW pruning was not. Each plane's
+  * cut is therefore shifted to the DATASET MEDIAN of its projections
+  * ([[computeThresholds]]): every bit then splits the indexed set 50/50,
+  * bucket occupancy flattens toward 1/2^K per table, and probed rows
+  * drop toward (probed dirs / total dirs) of the index. The thresholds
+  * are a deterministic pure function of the indexed vectors, stored once
+  * in the `chunk_vec_meta` sidecar at index build and FROZEN for later
+  * incremental merges (re-thresholding would invalidate the already-laid
+  * partitions; a full index rebuild recomputes them). All-zero
+  * thresholds reproduce the legacy layout, which stores written before
+  * the sidecar existed fall back to.
   */
 object VectorIndex {
-  /** L hash tables: each chunk is stored once per table. */
+  /** L hash tables: each chunk is stored once per table (L× storage —
+    * kept at 4; raising L buys recall at the index's storage cost). */
   val NumTables = 4
-  /** K sign bits per table → 2^K = 64 buckets per table. */
-  val BitsPerTable = 6
+  /** K sign bits per table → 2^K = 256 buckets per table. K=8 over K=6
+    * (AnnSweep, BENCH/BASELINE.md): finer buckets cut the candidate-row
+    * fraction ~30% at equal probe budget; the query-directed probing
+    * buys the recall back (0.875 mean @ 0.57× the exact scan's rows at
+    * the default P=32, vs 0.93 @ 0.81× for K=6/P=12). */
+  val BitsPerTable = 8
+  /** Total plane count of the default layout. */
+  val NumPlanes: Int = NumTables * BitsPerTable
 
   /** ±1 hyperplane weights for plane `pid`, md5-derived per dimension —
     * the deterministic, engine-portable spec shared with q31
@@ -43,45 +66,92 @@ object VectorIndex {
     }
   }
 
+  /** All-zero thresholds — the legacy raw-sign layout. */
+  def zeroThresholds: Array[Double] = Array.fill(NumPlanes)(0.0)
+
+  /** Per-plane dataset-median projection thresholds, in ONE aggregation
+    * pass over the embeddings (24 exact-percentile aggs on the projection
+    * expressions — at 10^12 rows the production form computes them on a
+    * uniform sample, which preserves the balance property; exactness here
+    * keeps the independent oracle reimplementable to the bit).
+    * Spark's exact `percentile(x, 0.5)` interpolates at position
+    * 0.5·(n−1) of the sorted projections — [[graft.kg.oracle.KgOracle]]
+    * mirrors that formula straight-line. Empty input → zeros. */
+  def computeThresholds(embeddings: DataFrame, dim: Int): Array[Double] = {
+    val aggs = (0 until NumPlanes).map { pid =>
+      expr(s"percentile(__proj_$pid, 0.5)").as(s"t_$pid")
+    }
+    val projected = (0 until NumPlanes).foldLeft(embeddings) { (df, pid) =>
+      df.withColumn(s"__proj_$pid",
+        dot_product(col("vec"), typedLit(planeWeights(pid, dim))))
+    }
+    val row = projected.agg(aggs.head, aggs.tail: _*).head()
+    Array.tabulate(NumPlanes)(i => if (row.isNullAt(i)) 0.0 else row.getDouble(i))
+  }
+
   /** Sign-sketch bucket of `vCol` for hash table `table`: bit p set iff
-    * dot(v, plane_{table·K+p}) > 0. The plane weights are plan-time
-    * literals; the projection is the native codegen'd dot_product —
-    * computed in one narrow pass, no shuffle. */
-  def bucketExpr(vCol: Column, dim: Int, table: Int): Column =
+    * dot(v, plane_{table·K+p}) > threshold_{table·K+p}. The plane weights
+    * and thresholds are plan-time literals; the projection is the native
+    * codegen'd dot_product — computed in one narrow pass, no shuffle. */
+  def bucketExpr(vCol: Column, dim: Int, table: Int,
+      thresholds: Array[Double]): Column =
     (0 until BitsPerTable).map { p =>
       val pid = table * BitsPerTable + p
-      when(dot_product(vCol, typedLit(planeWeights(pid, dim))) > 0,
+      when(dot_product(vCol, typedLit(planeWeights(pid, dim))) > thresholds(pid),
         lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** Index rows for an embeddings frame `(chunkId, vec)`: one row per
     * (chunk, table) with its bucket — L× the input, written under
     * `l=<table>/vbucket=<bucket>` partition dirs by the materializer. */
-  def layout(embeddings: DataFrame, dim: Int): DataFrame =
+  def layout(embeddings: DataFrame, dim: Int,
+      thresholds: Array[Double]): DataFrame =
     (0 until NumTables).map { l =>
       embeddings.select(col("chunkId"), col("vec"),
-        lit(l).as("l"), bucketExpr(col("vec"), dim, l).as("vbucket"))
+        lit(l).as("l"), bucketExpr(col("vec"), dim, l, thresholds).as("vbucket"))
     }.reduce(_ unionByName _)
 
-  /** Driver-side sketch of a query vector: the (table, bucket) pairs to
-    * read — every bucket within Hamming distance `probeRadius` of the
-    * query's sketch in each table (Σ_{d≤r} C(K,d) buckets per table; at
-    * the defaults r=1, K=6 that is 7 of the 64). The standard multi-probe
-    * recall lever: raising r trades read amplification for recall without
-    * growing the stored index. */
-  def queryBuckets(qv: Array[Float], probeRadius: Int = 1): Seq[(Int, Int)] = {
+  /** Legacy raw-sign layout (zero thresholds). */
+  def layout(embeddings: DataFrame, dim: Int): DataFrame =
+    layout(embeddings, dim, zeroThresholds)
+
+  /** Probes per table of the default query: chosen from the AnnSweep
+    * recall/read table in BENCH/BASELINE.md — 32 of the 256 buckets per
+    * table gives mean recall@10 ≈ 0.875 at ~0.57× the rows of the exact
+    * full scan on the bench corpus. */
+  val DefaultProbes = 32
+
+  /** Driver-side probe plan for a query vector: the (table, bucket)
+    * pairs to read — QUERY-DIRECTED multi-probe (Lv et al., VLDB'07):
+    * per table, candidate masks are ranked by the summed squared MARGIN
+    * of the bits they flip (how close the query's projection sat to each
+    * plane's cut — a near-cut bit is the likely one a true neighbor
+    * differs in), and the `probesPerTable` cheapest masks are probed.
+    * Beats the blind Hamming ball at equal read budget (measured +0.05
+    * recall at 7 probes, AnnSweep). `thresholds` must be the SAME array
+    * the stored layout was built with (the `chunk_vec_meta` sidecar). */
+  def queryBuckets(qv: Array[Float], probesPerTable: Int = DefaultProbes,
+      thresholds: Array[Double] = zeroThresholds): Seq[(Int, Int)] = {
     def dot(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0; var i = 0
       while (i < math.min(a.length, b.length)) { s += a(i).toDouble * b(i).toDouble; i += 1 }
       s
     }
-    val masks = (0 until (1 << BitsPerTable))
-      .filter(m => Integer.bitCount(m) <= probeRadius)
     (0 until NumTables).flatMap { l =>
-      val base = (0 until BitsPerTable).map { p =>
-        if (dot(qv, planeWeights(l * BitsPerTable + p, qv.length)) > 0) 1 << p else 0
-      }.sum
-      masks.map(m => (l, base ^ m))
+      val margins = Array.tabulate(BitsPerTable) { p =>
+        val pid = l * BitsPerTable + p
+        dot(qv, planeWeights(pid, qv.length)) - thresholds(pid)
+      }
+      val base = (0 until BitsPerTable)
+        .map(p => if (margins(p) > 0) 1 << p else 0).sum
+      // (loss, mask) sort key: the mask tiebreak pins the order against
+      // exact margin ties, so the independent oracle ranks identically
+      val ranked = (0 until (1 << BitsPerTable)).sortBy { m =>
+        ((0 until BitsPerTable)
+          .filter(p => (m & (1 << p)) != 0)
+          .map(p => margins(p) * margins(p)).sum, m)
+      }
+      ranked.take(probesPerTable).map(m => (l, base ^ m))
     }
   }
 }

@@ -1,0 +1,87 @@
+package graft.tools
+
+import graft.kg.{Chunk, ChunkEmbedding, GraftConfig}
+import graft.kg.embed.HashEmbedder
+import graft.kg.pipeline.ParquetTableIO
+import graft.kg.retrieve.Retrieval
+import org.apache.spark.sql.SparkSession
+
+/** Component-level latency decomposition of the query paths over an
+  * existing store (the bench big-store): times the term search, exact
+  * vector search, ANN vector search, and both hybrid compositions
+  * separately — median of 5 after a warm-up each — to locate where an
+  * end-to-end gap actually lives before optimizing anything.
+  *
+  * Usage: runMain graft.tools.QueryProbe <storeRoot> [cores]
+  */
+object QueryProbe {
+  def main(args: Array[String]): Unit = {
+    val root = args(0)
+    val cores = args.lift(1).getOrElse("32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-query-probe")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val io = new ParquetTableIO(root)
+    val retrieval = new Retrieval(new HashEmbedder())
+    val q = "utils imports module parseTree"
+    def chunksDs = io.read(spark, "chunks").as[Chunk]
+    val thr = io.read(spark, "chunk_vec_meta").orderBy("pid")
+      .collect().map(_.getAs[Double]("threshold"))
+
+    def med5(label: String)(f: => Unit): Unit = {
+      f // warm-up
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"$label%-28s median ${ts(2)}%.3f  all [${ts.map(t => f"$t%.2f").mkString(", ")}]")
+    }
+
+    med5("term_search") {
+      retrieval.termSearch(io.read(spark, "terms"), chunksDs, q).count(); ()
+    }
+    med5("vector_exact") {
+      retrieval.vectorSearch(
+        io.read(spark, "chunk_embeddings").as[ChunkEmbedding], chunksDs, q).count(); ()
+    }
+    med5("vector_ann") {
+      retrieval.vectorSearchAnn(
+        io.read(spark, "chunk_vec_index"), chunksDs, q, thresholds = thr).count(); ()
+    }
+    // sub-steps of the ann plan, to locate overhead
+    locally {
+      import org.apache.spark.sql.functions._
+      import graft.kg.retrieve.VectorIndex
+      val emb = new HashEmbedder()
+      val qv = emb.embedQuery(q)
+      val pairs = VectorIndex.queryBuckets(qv, thresholds = thr)
+      val pred = pairs.groupBy(_._1).map { case (l, bs) =>
+        col("l") === lit(l) && col("vbucket").isin(bs.map(_._2).distinct: _*)
+      }.reduce(_ || _)
+      med5("ann_scan_count") {
+        io.read(spark, "chunk_vec_index").filter(pred).count(); ()
+      }
+      med5("ann_scan_score_top") {
+        io.read(spark, "chunk_vec_index").filter(pred)
+          .select(col("chunkId"),
+            graft.functions.VectorFunctions.dot_product(col("vec"), typedLit(qv)).as("score"))
+          .orderBy(col("score").desc, col("chunkId"))
+          .limit(40).collect(); ()
+      }
+    }
+    val rag = new graft.kg.GraphRag(spark, io, GraftConfig(linkMode = "exact"))
+    med5("hybrid_exact") {
+      rag.query(q, includeTriplets = false).chunks.count(); ()
+    }
+    med5("hybrid_ann") {
+      rag.query(q, includeTriplets = false, vectorMode = "ann").chunks.count(); ()
+    }
+    spark.stop()
+  }
+}

@@ -176,8 +176,13 @@ class GraphRagSuite extends AnyFunSuite {
     val exact = retrieval.vectorSearch(
       io.read(spark, "chunk_embeddings").as[ChunkEmbedding], chunksDs, q, k)
       .select("chunkId").collect().map(_.getString(0)).toSet
+    // the stored layout is median-thresholded; the query sketch must use
+    // the same sidecar thresholds the materializer froze
+    val thr = io.read(spark, "chunk_vec_meta").orderBy("pid")
+      .collect().map(_.getAs[Double]("threshold"))
+    assert(thr.length == retrieve.VectorIndex.NumPlanes)
     val annDf = retrieval.vectorSearchAnn(
-      io.read(spark, "chunk_vec_index"), chunksDs, q, k)
+      io.read(spark, "chunk_vec_index"), chunksDs, q, k, thresholds = thr)
     val ann = annDf.select("chunkId").collect().map(_.getString(0)).toSet
     assert(ann.nonEmpty, "ann search returned nothing")
     val recall = (ann intersect exact).size.toDouble / exact.size
@@ -197,8 +202,9 @@ class GraphRagSuite extends AnyFunSuite {
       scans.head.partitionFilters, Nil).size).sum
     val totalParts = retrieve.VectorIndex.NumTables *
       (1 << retrieve.VectorIndex.BitsPerTable)
+    // bound = L tables × DefaultProbes query-directed probes (48 of 256)
     assert(readParts <= retrieve.VectorIndex.NumTables *
-      (1 + retrieve.VectorIndex.BitsPerTable),
+      retrieve.VectorIndex.DefaultProbes,
       s"read $readParts partitions of $totalParts — pruning not bounded")
     // and through the facade
     val res = engine.query(q, includeTriplets = false, vectorMode = "ann")

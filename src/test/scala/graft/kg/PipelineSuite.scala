@@ -122,6 +122,35 @@ class PipelineSuite extends AnyFunSuite {
     assert(canon("alphabeta") == "alphabeta")
   }
 
+  test("banding blocks every planted alias-variant pair (blocking recall 1.0)") {
+    val s = spark; import s.implicits._
+    // the only stage that can silently lose an alias pair at scale is
+    // the MinHash band blocking (everything after it is an exact
+    // computation on the candidate) — pin blocking recall = 1.0 on the
+    // corpus generator's full planted-variant space: every "xY" base id
+    // and its space-split variant "x y". Cosine threshold disabled
+    // (0.0) so the assertion isolates blocking + the Jaccard cap; the
+    // measured end-to-end numbers live in BENCH/BASELINE.md
+    // (graft.tools.LinkRecall: blocking 340/340, linked 302/340 at the
+    // 0.85 cosine calibration).
+    val bases = for {
+      p <- Seq("util", "parse", "data", "graph", "batch", "scan", "hash",
+        "merge", "sort", "index")
+      f <- Seq("Lib", "Tree", "Engine", "Set", "Map", "Worker")
+    } yield p + f
+    val variants = bases.map { b =>
+      (b.toLowerCase,
+        b.flatMap(c => if (c.isUpper) " " + c.toLower else c.toString))
+    }
+    val names = variants.flatMap { case (a, b) => Seq(a, b) }.distinct.toDF("name")
+    val vecs = Link.mentionEmbeddings(names, new embed.HashEmbedder())
+    val found = Link.lshAliases(vecs, threshold = 0.0, linkTopK = 1000)
+      .collect().map(p => Set(p.a, p.b)).toSet
+    val missing = variants.filterNot { case (a, b) => found.contains(Set(a, b)) }
+    assert(missing.isEmpty,
+      s"banding+jaccard lost ${missing.size} planted pairs: ${missing.take(5)}")
+  }
+
   test("LSH band-bucket cap bounds adversarial candidate pairs deterministically") {
     val s = spark; import s.implicits._
     // adversarial near-identical-name corpus: a long shared body means

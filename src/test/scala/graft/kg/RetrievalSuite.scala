@@ -126,6 +126,34 @@ class RetrievalSuite extends AnyFunSuite {
     assert(hits.head.getAs[String]("chunkId") == someChunk.chunkId)
   }
 
+  test("ann defaults hit mean recall@10 >= 0.8 over a query sample") {
+    val s = spark; import s.implicits._
+    // the default (L=4 tables, r=1 multi-probe) was chosen from the
+    // AnnSweep recall/read-amplification table in BENCH/BASELINE.md
+    // (measured 0.92-0.95 mean recall across corpus sizes); this pins the
+    // property the default promises — over a SAMPLE of queries, not the
+    // single-query spot check in GraphRagSuite (one query's recall
+    // legitimately ranges 0.5-1.0 at these settings)
+    val emb = new graft.kg.embed.HashEmbedder()
+    val thr = graft.kg.retrieve.VectorIndex.computeThresholds(
+      result.chunkEmbeddings.toDF(), emb.dim)
+    val idx = graft.kg.retrieve.VectorIndex.layout(
+      result.chunkEmbeddings.toDF(), emb.dim, thr)
+    val texts = result.chunks.orderBy("chunkId").collect().map(_.text)
+    val queries = texts.indices.by(math.max(1, texts.length / 12)).take(12)
+      .map(texts)
+    val recalls = queries.map { q =>
+      val exact = retrieval.vectorSearch(result.chunkEmbeddings, result.chunks, q)
+        .select("chunkId").collect().map(_.getString(0)).toSet
+      val ann = retrieval.vectorSearchAnn(idx, result.chunks, q, thresholds = thr)
+        .select("chunkId").collect().map(_.getString(0)).toSet
+      (ann intersect exact).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@10 over ${recalls.size} queries: $mean%.3f")
+    assert(mean >= 0.8, s"mean ANN recall $mean < 0.8 (recalls=$recalls)")
+  }
+
   test("vector search plan is columnar: no UDF / object-deserialize stage") {
     val s = spark; import s.implicits._
     // materialize the tables so the scan side has no typed-stage lineage —

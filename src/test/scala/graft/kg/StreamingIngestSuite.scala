@@ -14,8 +14,8 @@ class StreamingIngestSuite extends AnyFunSuite {
   lazy val spark = SparkSessionFixture.spark
 
   private def tables = Seq("chunks", "chunk_embeddings", "chunk_vec_index",
-    "terms", "edges", "edge_entity_index", "canonical_edges",
-    "canonical_map", "vertices", "aliases")
+    "chunk_vec_meta", "terms", "edges", "edge_entity_index",
+    "canonical_edges", "canonical_map", "vertices", "aliases")
 
   private def tableState(io: ParquetTableIO): Map[String, Set[String]] =
     tables.map { t =>
