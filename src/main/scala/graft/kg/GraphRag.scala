@@ -223,8 +223,8 @@ final class GraphRag(
     * counts, `cli/main.py:90-104`). */
   def stats(): Map[String, Long] =
     Seq("chunks", "chunk_embeddings", "chunk_vec_index", "chunk_vec_meta",
-      "terms", "edges",
-      "edge_entity_index", "canonical_edges", "vertices", "aliases")
+      "terms", "edges", "edge_entity_index", "canonical_edges", "vertices",
+      "aliases", "lsh_band_index")
       .filter(io.exists(spark, _))
       .map(t => t -> io.read(spark, t).count()).toMap
 
@@ -235,9 +235,8 @@ final class GraphRag(
   def reset(): Unit = {
     dropCaches()
     Seq("chunks", "chunk_embeddings", "chunk_vec_index", "chunk_vec_meta",
-      "terms", "edges",
-      "edge_entity_index", "canonical_edges", "canonical_map", "vertices",
-      "aliases").foreach { t =>
+      "terms", "edges", "edge_entity_index", "canonical_edges",
+      "canonical_map", "vertices", "aliases", "lsh_band_index").foreach { t =>
       if (io.exists(spark, t)) {
         val schema = io.read(spark, t).schema
         val empty = spark.createDataFrame(

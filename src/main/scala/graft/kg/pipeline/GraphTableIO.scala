@@ -34,6 +34,18 @@ trait GraphTableIO extends Serializable {
     * `df` reads the table being modified. */
   def overwritePartitions(spark: SparkSession, table: String, df: DataFrame,
       partitionCol: String, partitions: Seq[Int]): Unit
+  /** Insert-only upsert for IMMUTABLE-ROW tables (rows are a pure
+    * function of their key — e.g. the LSH band signatures): rows whose
+    * key already exists are dropped, genuinely new rows are PHYSICALLY
+    * APPENDED — no rewrite of existing data, so maintaining such a table
+    * costs O(delta) writes per batch instead of O(table). Existing file
+    * listings stay valid (nothing is swapped), so readers opened before
+    * the append simply see the pre-append snapshot. Default: falls back
+    * to [[merge]] (correct for any backend; the append fast path is an
+    * optimization). */
+  def appendNew(spark: SparkSession, table: String, delta: DataFrame,
+      keys: Seq[String]): Unit = merge(spark, table, delta, keys)
+
   /** Run `f` holding the store's single-writer lease — a second
     * concurrent writer must FAIL FAST instead of corrupting the
     * non-transactional table swaps. Default: passthrough (a
@@ -140,6 +152,19 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
   def overwrite(spark: SparkSession, table: String, df: DataFrame,
       partitionCols: Seq[String] = Nil): Unit =
     writeSwap(spark, table, df, partitionCols)
+
+  override def appendNew(spark: SparkSession, table: String, delta: DataFrame,
+      keys: Seq[String]): Unit = {
+    val d = delta.dropDuplicates(keys)
+    if (!exists(spark, table)) { writeSwap(spark, table, d, Nil); return }
+    // new keys only (anti-join against the existing key projection —
+    // column-pruned scan), appended as fresh part files; Spark's commit
+    // protocol stages them in _temporary until the job commits, so a
+    // crashed append leaves no partial rows and a retry is idempotent
+    val newRows = d.join(read(spark, table).select(keys.map(col): _*),
+      keys, "left_anti")
+    newRows.write.mode(SaveMode.Append).parquet(path(table))
+  }
 
   def overwritePartitions(spark: SparkSession, table: String, df: DataFrame,
       partitionCol: String, partitions: Seq[Int]): Unit = {

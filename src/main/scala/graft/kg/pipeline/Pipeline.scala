@@ -60,7 +60,8 @@ final class Pipeline(
     *   far, `triplets.py:252-343`), so canonical components span batches.
     */
   def run(corpus: Dataset[CorpusRow],
-      existingVertices: Option[DataFrame] = None): Result = {
+      existingVertices: Option[DataFrame] = None,
+      existingBandIndex: Option[DataFrame] = None): Result = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
@@ -134,10 +135,29 @@ final class Pipeline(
         // fingerprint (but not into chunks/triples, which don't)
         val evFp = existingVertices
           .map(ev => s";ev=${identityFp(ev, col("name"))}").getOrElse("") +
+          existingBandIndex
+            .map(bi => s";bi=${identityFp(bi, col("name"))}").getOrElse("") +
           s";mb=${config.lshMaxBucket}" // cap changes the alias output
         ckpt.stage("aliases", "v1", fp + evFp) {
-          Link.lshAliases(linkUniverse, config.linkThreshold, config.linkTopK,
-            maxBucket = config.lshMaxBucket).toDF()
+          (existingVertices, existingBandIndex) match {
+            case (Some(ev), Some(idx)) =>
+              // INCREMENTAL linking: probe the stored band index with
+              // the batch's signatures — per-batch linking compute
+              // scales with the batch, not the cumulative mention
+              // universe (re-signing + self-joining the universe every
+              // batch was the last O(history) stage of the ingest path)
+              Link.lshAliasesIncremental(mentionVecs, idx,
+                ev.select($"name", $"vec"),
+                config.linkThreshold, config.linkTopK,
+                maxBucket = config.lshMaxBucket,
+                broadcastSmall = !config.saltedCanonicalJoin).toDF()
+            case _ =>
+              // fresh store, or a legacy store with no stored index yet
+              // (materialize backfills it this batch): one full-universe
+              // self-join
+              Link.lshAliases(linkUniverse, config.linkThreshold,
+                config.linkTopK, maxBucket = config.lshMaxBucket).toDF()
+          }
         }.as[AliasPair]
       case _ => Link.exactAliases(spark) // stock reference behavior
     }
@@ -187,12 +207,19 @@ final class Pipeline(
     io.setFlag(spark, "batch_inflight")
     // incremental: link new mentions against the existing entity table.
     // localCheckpoint snapshots the prior state — the merge below swaps
-    // the table directory out from under a lazy scan otherwise
+    // the table directory out from under a lazy scan otherwise (at real
+    // scale both snapshots are free: Iceberg reads are snapshot-isolated)
     val existing =
       if (config.linkMode == "lsh" && io.exists(spark, "vertices"))
         Some(io.read(spark, "vertices").localCheckpoint())
       else None
-    val r = run(corpus, existing)
+    // no snapshot needed: the index is append-only (appendNew) — a
+    // DataFrame opened here lists the pre-batch files and stays valid
+    val bandIndex =
+      if (existing.isDefined && io.exists(spark, "lsh_band_index"))
+        Some(io.read(spark, "lsh_band_index"))
+      else None
+    val r = run(corpus, existing, bandIndex)
     import Pipeline.NumBuckets
     // the merges below consume chunks through three branches (chunks,
     // embeddings, terms) and triples through four more (edges, entity
@@ -325,6 +352,22 @@ final class Pipeline(
     }
     io.merge(spark, "vertices", verticesPart, Seq("name"), Seq("nbucket"))
     io.merge(spark, "aliases", r.aliases.toDF(), Seq("a", "b"))
+    // band-index maintenance: signatures are pure functions of the name,
+    // so the table is APPEND-ONLY — new names' rows are physically
+    // appended (O(batch) write, no table rewrite; GraphTableIO.appendNew).
+    // A legacy store (pre-index) gets a one-time backfill of the prior
+    // vertex names, after which every later batch probes instead of
+    // re-signing the universe.
+    if (config.linkMode == "lsh") {
+      val batchSigs = graft.kg.stages.Link
+        .bandSignatures(r.mentionVecs.select(col("name")))
+      val sigs =
+        if (bandIndex.isEmpty && existing.isDefined)
+          batchSigs.unionByName(graft.kg.stages.Link
+            .bandSignatures(existing.get.select(col("name"))))
+        else batchSigs
+      io.appendNew(spark, "lsh_band_index", sigs, Seq("name", "band"))
+    }
     if (freshFastPath) {
       // the canonical-map table (CC output: LINKED names only, name →
       // canonicalName) seeds the next batch's delta compaction
@@ -350,7 +393,8 @@ final class Pipeline(
     r.cleanup()
     val tableCounts = Seq("chunks", "chunk_embeddings", "chunk_vec_index",
       "terms", "edges", "edge_entity_index", "canonical_edges", "vertices",
-      "aliases")
+      "aliases", "lsh_band_index")
+      .filter(io.exists(spark, _)) // lsh_band_index is lsh-mode-only
       .map(t => t -> io.read(spark, t).count()).toMap
     // fold in the observed in-flight stage counters (Metrics piggyback on
     // the actions above — no extra job)

@@ -77,6 +77,127 @@ object Link {
          ELSE array_distinct(transform(sequence(0, length(s0) - 3),
                                        i -> substring(s0, i + 1, 3))) END""")
 
+  /** Band signatures of a set of names: one row per (name, band) with
+    * the deterministic band minhash — the rows of the STORED
+    * `lsh_band_index` table. A pure function of the name, so the index
+    * is computed once per name ever and merged incrementally; probing it
+    * replaces recomputing the whole universe's signatures every batch. */
+  def bandSignatures(names: DataFrame, // (name)
+      numBands: Int = 8): DataFrame =
+    names.select(col("name"))
+      .withColumn("s0", concat(lit(""), lower(col("name")), lit("")))
+      .withColumn("sh", shinglesExpr)
+      .select(col("name"), col("sh"),
+        explode(sequence(lit(0), lit(numBands - 1))).as("band"))
+      .withColumn("mh",
+        expr("array_min(transform(sh, g -> md5(concat(cast(band AS string), '|', g))))"))
+      .select(col("name"), col("band"), col("mh"))
+
+  /** Incremental J1: link a batch's NEW mentions against the cumulative
+    * graph by PROBING the stored band index instead of re-signing and
+    * self-joining the whole universe (the reference's shape — each
+    * triplet queries the cumulative vector index, `triplets.py:252-343`).
+    *
+    *  - new×old candidates: batch signatures equi-joined against the
+    *    stored index on the band key — the batch side is broadcast
+    *    (batch-bounded) unless `broadcastSmall = false`, so the stored
+    *    index is scanned map-only, never shuffled;
+    *  - new×new candidates: the plain [[lshAliases]] self-join over the
+    *    batch's own mentions;
+    *  - the band-bucket cap counts stored + batch members per bucket
+    *    (same deterministic degenerate-bucket drop as batch mode);
+    *  - Jaccard + exact-cosine re-score + top-`linkTopK` per probe run
+    *    on the union, identical to batch mode. Old-side vectors come
+    *    from `oldVecs` (the vertices table — an equi-join on candidate
+    *    names, map-only when the candidate side broadcasts).
+    *
+    * Accumulation semantics (documented drift from one-shot linking):
+    * the per-probe top-K caps THIS BATCH's candidates; a name processed
+    * across many batches can accumulate more than K alias partners in
+    * the cumulative table — the same accumulation the reference's
+    * per-triplet top-10 MERGEs produce. */
+  def lshAliasesIncremental(
+      newVecs: DataFrame, // (name, vec) — the batch's distinct mentions
+      storedSigs: DataFrame, // (name, band, mh) — lsh_band_index
+      oldVecs: DataFrame, // (name, vec) — prior entity vectors
+      threshold: Double,
+      linkTopK: Int,
+      jaccardDistanceCap: Double = 0.7,
+      numBands: Int = 8,
+      maxBucket: Int = 256,
+      broadcastSmall: Boolean = true): Dataset[AliasPair] = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    def small(df: DataFrame): DataFrame =
+      if (broadcastSmall) broadcast(df) else df
+
+    val newSigs = bandSignatures(newVecs.select($"name"), numBands)
+      .localCheckpoint() // consumed by the cap count AND the probe join
+    // only the buckets the BATCH probes matter — restrict the stored
+    // index to them first (map-only semi-join against the broadcast
+    // batch keys), so the cap count and the candidate join both touch
+    // O(batch-probed members), never the cumulative index's key space
+    val probedKeys = newSigs.select($"band", $"mh").distinct()
+    val storedProbed = storedSigs.select($"name", $"band", $"mh")
+      .join(small(probedKeys), Seq("band", "mh"), "left_semi")
+      .localCheckpoint() // consumed by the cap count AND the probe join
+    // deterministic bucket cap over the union population (stored ∪ new,
+    // (name, band) deduped — a re-ingested name sits in both sides)
+    val badBuckets = storedProbed
+      .unionByName(newSigs.select($"name", $"band", $"mh"))
+      .dropDuplicates("name", "band")
+      .groupBy($"band", $"mh").agg(count(lit(1)).as("bsz"))
+      .filter($"bsz" > maxBucket)
+      .select($"band", $"mh") // degenerate buckets only — tiny
+    // new×old candidate names: probe the (pre-restricted) stored rows
+    // with the batch's signatures — map-only when the batch side
+    // broadcasts; degenerate buckets dropped whole, as in batch mode
+    val nxo = storedProbed.as("o")
+      .join(small(newSigs.as("n")),
+        col("o.band") === col("n.band") && col("o.mh") === col("n.mh") &&
+          col("o.name") =!= col("n.name"))
+      .join(small(badBuckets.as("k")),
+        col("o.band") === col("k.band") && col("o.mh") === col("k.mh"), "left_anti")
+      .select(least(col("o.name"), col("n.name")).as("a"),
+        greatest(col("o.name"), col("n.name")).as("b"))
+      .dropDuplicates("a", "b")
+    // re-attach vectors and shingles for the exact re-score: names are
+    // pure keys, shingles recompute in-line, vectors come from the old
+    // entity table ∪ the batch (a re-ingested name resolves identically
+    // from either side — same deterministic embedding)
+    val vecLookup = oldVecs.select($"name", $"vec")
+      .unionByName(newVecs.select($"name", $"vec"))
+      .dropDuplicates("name")
+    def withSide(df: DataFrame, key: String, v: String, sh: String): DataFrame =
+      df.join(vecLookup.select($"name".as(key), $"vec".as(v)), Seq(key))
+        .withColumn("s0", concat(lit(""), lower(col(key)), lit("")))
+        .withColumn(sh, shinglesExpr)
+        .drop("s0")
+    val scored = withSide(withSide(nxo, "a", "va", "sha"), "b", "vb", "shb")
+      .withColumn("inter", size(array_intersect($"sha", $"shb")).cast("double"))
+      .withColumn("jd",
+        lit(1.0) - $"inter" /
+          (size($"sha").cast("double") + size($"shb").cast("double") - $"inter"))
+      .filter($"jd" <= jaccardDistanceCap)
+      .withColumn("score", graft.functions.VectorFunctions.dot_product($"va", $"vb"))
+      .filter($"score" >= threshold)
+      .select($"a", $"b", $"score")
+    // new×new pairs: plain batch-mode linking over the batch only
+    val nxn = lshAliases(newVecs, threshold, linkTopK,
+      jaccardDistanceCap, numBands, maxBucket).toDF()
+      .select($"a", $"b", $"score")
+    val all = scored.unionByName(nxn)
+      .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"), $"score")
+      .dropDuplicates("a", "b")
+    // top-K per probe over this batch's candidates, both directions
+    val sym = all.unionByName(all.select($"b".as("a"), $"a".as("b"), $"score"))
+    val w = Window.partitionBy($"a").orderBy($"score".desc, $"b")
+    sym.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= linkTopK)
+      .select($"a", $"b", $"score")
+      .as[AliasPair]
+  }
+
   /** J1: deterministic MinHash banding + exact Jaccard filter +
     * exact-cosine re-score ≥ threshold, top-`linkTopK` per probe.
     * Returns symmetric alias pairs (a ≠ b).
