@@ -122,12 +122,14 @@ object Bench {
         .createTempDirectory("graft_bench_bigstore").toString
       val bigCorpus = kg.fixtures.CorpusGen
         .generateDistributed(spark, 1050, 240, seed = 42L)
-        .repartition(cpus.toInt * 4)
+        .repartition(cpus.toInt * 4).cache()
+      bigCorpus.count() // input materialized outside the timed span
       val rag = new graft.kg.GraphRag(spark,
         new graft.kg.pipeline.ParquetTableIO(storeRoot),
         GraftConfig(linkMode = "exact"))
       val ingestSec = time { rag.ingest(bigCorpus) }
       results += "kg_ingest_250k_store" -> ingestSec
+      bigCorpus.unpersist(blocking = false)
       def med3(f: => Unit): Double = { f; (1 to 3).map(_ => time(f)).sorted.apply(1) }
       val q = "utils imports module parseTree"
       results += "kg_query_big_hybrid_exact" -> med3 {
@@ -140,6 +142,12 @@ object Bench {
         rag.query("What does Utils use?", includeTriplets = true)
           .triplets.foreach(_.count())
       }
+      // the multi-GB temp store must not accumulate across bench runs
+      try {
+        val fs = new org.apache.hadoop.fs.Path(storeRoot).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(storeRoot), true)
+      } catch { case _: Throwable => () }
     }
 
     // a failed headline query must be visible in the JSON, not just a

@@ -20,36 +20,39 @@ object Queries {
     * memoized Result persists its chunks/triples stages so every query's
     * action reuses the expensive chunk/extract work instead of recomputing
     * the lineage from the corpus scan. */
-  private val kgCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), Pipeline#Result]
+  private val kgCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String),
+      (java.lang.ref.WeakReference[SparkSession], Pipeline#Result)]
 
   private def kgResult(s: SparkSession, dir: String, mode: String): Pipeline#Result = {
     // keyed by SESSION identity too: a cached Result holds Datasets bound
     // to the session that built it — reusing them after a session restart
     // (same JVM, e.g. sequential harness phases) would throw instead of
-    // rebuilding. Entries from OTHER sessions are evicted on sight: they
-    // can never be served again (their session key will not recur for
-    // this session) and would otherwise pin dead cached partitions — and
-    // an identityHashCode collision across restarts could even serve a
-    // Dataset bound to a stopped session.
-    val sid = System.identityHashCode(s)
-    kgCache.keys.filter(_._1 != sid).foreach { k =>
-      kgCache.remove(k).foreach { r =>
-        try { r.chunks.unpersist(blocking = false)
-              r.triples.unpersist(blocking = false)
-              r.cleanup() }
-        catch { case _: Throwable => () } // stopped session: nothing to free
-      }
+    // rebuilding. Entries whose session is GONE (collected or stopped)
+    // are evicted — but never a LIVE foreign session's: two sessions may
+    // interleave kg_* evaluations, and tearing down the other's cached
+    // Result mid-use would silently force full recomputation (or worse).
+    // The weak reference also defuses identityHashCode collisions across
+    // restarts: a collided entry's dead session is detected, not served.
+    kgCache.foreach { case (k, (ref, _)) =>
+      val sess = ref.get()
+      if (sess == null || sess.sparkContext.isStopped)
+        kgCache.remove(k).foreach { case (_, r) =>
+          try { r.chunks.unpersist(blocking = false)
+                r.triples.unpersist(blocking = false)
+                r.cleanup() }
+          catch { case _: Throwable => () } // stopped session: nothing to free
+        }
     }
-    kgCache.getOrElseUpdate((sid, dir, mode), {
+    kgCache.getOrElseUpdate((System.identityHashCode(s), dir, mode), {
       val cfg =
         if (mode == "lsh") GraftConfig(linkMode = "lsh", linkThreshold = 0.85)
         else GraftConfig(linkMode = mode)
       val r = new Pipeline(cfg).run(SparkEntry.syntheticCorpus(s, dir))
       r.chunks.persist()
       r.triples.persist()
-      r
-    })
+      (new java.lang.ref.WeakReference(s), r)
+    })._2
   }
 
   private val kgDefs: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -106,11 +106,8 @@ final class GraphRag(
     val cached = annThresholdsCache
     if (cached != null) cached
     else {
-      val t =
-        if (io.exists(spark, "chunk_vec_meta"))
-          io.read(spark, "chunk_vec_meta").orderBy("pid")
-            .collect().map(_.getAs[Double]("threshold"))
-        else graft.kg.retrieve.VectorIndex.zeroThresholds
+      val t = graft.kg.retrieve.VectorIndex.readThresholds(spark, io)
+        .getOrElse(graft.kg.retrieve.VectorIndex.zeroThresholds)
       annThresholdsCache = t
       t
     }

@@ -75,29 +75,41 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Lease-file writer lock: `create(overwrite = false)` on `$root/
-    * _writer.lock` — the second writer's create fails, so it errors out
-    * before touching any table. A crashed writer leaves the lock behind;
-    * recovery is deliberate (delete the file), matching the fail-safe
-    * direction — refusing writes is recoverable, a corrupted swap is
-    * not. Production = Iceberg optimistic commit (no lock needed). */
+  /** Lease-file writer lock on `$root/_writer.lock` — the second
+    * writer's acquire fails, so it errors out before touching any
+    * table. Local roots use `java.io.File.createNewFile` (atomic
+    * O_EXCL); Hadoop's `create(overwrite = false)` on the local FS is a
+    * non-atomic exists-then-open and would let two racing writers both
+    * pass, so it is only the fallback for non-local filesystems (best
+    * effort there — the real production answer is Iceberg optimistic
+    * commit, which needs no lock at all). A crashed writer leaves the
+    * lock behind; recovery is deliberate (delete the file), matching
+    * the fail-safe direction — refusing writes is recoverable, a
+    * corrupted swap is not. */
   override def withWriterLock[T](spark: SparkSession)(f: => T): T = {
     val hfs = fs(spark)
     val rootP = new org.apache.hadoop.fs.Path(root)
     if (!hfs.exists(rootP)) hfs.mkdirs(rootP)
     val lock = new org.apache.hadoop.fs.Path(root, "_writer.lock")
-    val out =
-      try hfs.create(lock, false)
-      catch { case _: java.io.IOException =>
-        throw new IllegalStateException(
-          s"store $root is locked by another writer ($lock exists). " +
-            "Either a materialize is in progress, or a crashed writer " +
-            "left the lease behind — delete the file to recover.")
-      }
-    try {
-      out.writeBytes(s"pid=${ProcessHandle.current().pid()} " +
+    def fail() = throw new IllegalStateException(
+      s"store $root is locked by another writer ($lock exists). " +
+        "Either a materialize is in progress, or a crashed writer " +
+        "left the lease behind — delete the file to recover.")
+    val scheme = rootP.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      val f0 = new java.io.File(
+        new org.apache.hadoop.fs.Path(rootP, "_writer.lock").toUri.getPath)
+      if (!f0.createNewFile()) fail()
+      try java.nio.file.Files.writeString(f0.toPath,
+        s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}\n")
+      catch { case _: java.io.IOException => () }
+    } else {
+      val out = try hfs.create(lock, false)
+        catch { case _: java.io.IOException => fail() }
+      try out.writeBytes(s"pid=${ProcessHandle.current().pid()} " +
         s"ts=${System.currentTimeMillis()}\n")
-    } finally out.close()
+      finally out.close()
+    }
     try f finally { hfs.delete(lock, false); () }
   }
 

@@ -264,10 +264,7 @@ final class Pipeline(
         spark.createDataFrame(t.zipWithIndex.map { case (th, i) => (i, th) }.toSeq)
           .toDF("pid", "threshold"))
     val storedVecMeta: Option[Array[Double]] =
-      if (io.exists(spark, "chunk_vec_meta"))
-        Some(io.read(spark, "chunk_vec_meta").orderBy("pid")
-          .collect().map(_.getAs[Double]("threshold")))
-      else None
+      VectorIndex.readThresholds(spark, io)
     storedVecMeta match {
       case Some(t) if t.length == VectorIndex.NumPlanes =>
         // steady state: merge the batch under the frozen thresholds
@@ -279,14 +276,20 @@ final class Pipeline(
         // different (L·K) layout — merging new rows bucketed under the
         // current geometry into the old directories would corrupt the
         // index. Rebuild it wholesale from the cumulative embeddings
-        // table (already merged above), under fresh medians.
+        // table (already merged above), under fresh medians. Order
+        // matters for crash safety: the INDEX swaps first, the sidecar
+        // last — a crash in between leaves {new index, old sidecar},
+        // which the plane-count mismatch detector treats as another
+        // upgrade (idempotent rebuild); sidecar-first would leave a
+        // matching-length sidecar over an old-geometry index, silently
+        // defeating the detector.
         val t = VectorIndex.computeThresholds(
           io.read(spark, "chunk_embeddings"), embedder.dim)
-        writeVecMeta(t)
         io.overwrite(spark, "chunk_vec_index",
           VectorIndex.layout(io.read(spark, "chunk_embeddings"),
             embedder.dim, t),
           Seq("l", "vbucket"))
+        writeVecMeta(t)
       case None =>
         // no sidecar: a PRE-EXISTING index was laid down by the legacy
         // raw-sign code — pin zeros (median-splitting a half-written
@@ -361,10 +364,17 @@ final class Pipeline(
     if (config.linkMode == "lsh") {
       val batchSigs = graft.kg.stages.Link
         .bandSignatures(r.mentionVecs.select(col("name")))
+      // backfill the index when it is missing (legacy store) — and
+      // RECONCILE it against the cumulative vertex names after a crash:
+      // a batch that died between its vertices merge and its index
+      // append leaves names the incremental probe would otherwise never
+      // see again (appendNew makes the reconcile idempotent and its
+      // write O(missing))
       val sigs =
-        if (bandIndex.isEmpty && existing.isDefined)
+        if ((bandIndex.isEmpty && existing.isDefined) ||
+            (priorIncomplete && io.exists(spark, "vertices")))
           batchSigs.unionByName(graft.kg.stages.Link
-            .bandSignatures(existing.get.select(col("name"))))
+            .bandSignatures(io.read(spark, "vertices").select(col("name"))))
         else batchSigs
       io.appendNew(spark, "lsh_band_index", sigs, Seq("name", "band"))
     }

@@ -239,14 +239,17 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
     // re-scored projection) and the merge join adds more — Catalyst does
     // not dedupe common subtrees across branches, so without the pin
     // every branch re-executes the full search subtree (measured ~2× the
-    // query latency at a 250k-chunk store). localCheckpoint on ≤ topK
-    // rows is a sub-ms materialization.
+    // query latency at a 250k-chunk store). LAZY checkpoint (eager =
+    // false): the topK rows materialize on the FIRST action and are
+    // shared by every later branch — an eager one would execute both
+    // searches at query-construction time, which callers that only
+    // consume the triplets side would pay for nothing.
     val v = minMaxNormalize(
       vectorHits.getOrElse(vectorSearch(embeddings, chunks, query, topK))
-        .localCheckpoint()).as("v")
+        .localCheckpoint(eager = false)).as("v")
     val g = minMaxNormalize(
       termHits.getOrElse(termSearch(terms, chunks, query, topK))
-        .localCheckpoint()).as("g")
+        .localCheckpoint(eager = false)).as("g")
     v.select(col("chunkId"), col("score").as("vscore"), col("text").as("vtext"))
       .join(g.select(col("chunkId"), col("score").as("gscore"), col("text").as("gtext")),
         Seq("chunkId"), "full_outer")

@@ -69,6 +69,16 @@ object VectorIndex {
   /** All-zero thresholds — the legacy raw-sign layout. */
   def zeroThresholds: Array[Double] = Array.fill(NumPlanes)(0.0)
 
+  /** Decode the `chunk_vec_meta` sidecar: the per-plane thresholds in
+    * pid order, or None when the store has no sidecar. The ONE reader
+    * of the sidecar schema — engine, bench and tests all go through it
+    * so a schema change cannot silently diverge between them. */
+  def readThresholds(spark: org.apache.spark.sql.SparkSession,
+      io: graft.kg.pipeline.GraphTableIO): Option[Array[Double]] =
+    if (!io.exists(spark, "chunk_vec_meta")) None
+    else Some(io.read(spark, "chunk_vec_meta").orderBy("pid")
+      .collect().map(_.getAs[Double]("threshold")))
+
   /** Per-plane dataset-median projection thresholds, in ONE aggregation
     * pass over the embeddings (24 exact-percentile aggs on the projection
     * expressions — at 10^12 rows the production form computes them on a

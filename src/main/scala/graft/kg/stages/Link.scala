@@ -164,7 +164,14 @@ object Link {
     // re-attach vectors and shingles for the exact re-score: names are
     // pure keys, shingles recompute in-line, vectors come from the old
     // entity table ∪ the batch (a re-ingested name resolves identically
-    // from either side — same deterministic embedding)
+    // from either side — same deterministic embedding). oldVecs is the
+    // VERTEX table, so the inner join silently drops new×old candidates
+    // whose stored-index partner is a prior-batch predicate-only name.
+    // Intentional: incremental linking's old-side universe has always
+    // been the vertex table (the contract pre-dates the band index, which
+    // signs every mention so a name promoted to vertex later still
+    // probes); within-batch predicate pairs still link via the nxn leg
+    // below, exactly as batch mode links them
     val vecLookup = oldVecs.select($"name", $"vec")
       .unionByName(newVecs.select($"name", $"vec"))
       .dropDuplicates("name")

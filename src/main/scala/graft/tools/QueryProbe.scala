@@ -32,8 +32,7 @@ object QueryProbe {
     val retrieval = new Retrieval(new HashEmbedder())
     val q = "utils imports module parseTree"
     def chunksDs = io.read(spark, "chunks").as[Chunk]
-    val thr = io.read(spark, "chunk_vec_meta").orderBy("pid")
-      .collect().map(_.getAs[Double]("threshold"))
+    val thr = graft.kg.retrieve.VectorIndex.readThresholds(spark, io).get
 
     def med5(label: String)(f: => Unit): Unit = {
       f // warm-up

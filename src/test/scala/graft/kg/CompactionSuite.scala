@@ -227,6 +227,32 @@ class CompactionSuite extends AnyFunSuite {
     assert(io.read(spark, "canonical_map").count() == mapRows)
   }
 
+  test("appendNew appends new keys without rewriting existing files") {
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftappend").toString
+    val io = new ParquetTableIO(root)
+    val t1 = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    io.appendNew(spark, "t", t1, Seq("k"))
+    def files(): Set[(String, Long)] =
+      new java.io.File(s"$root/t").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    val before = files()
+    assert(before.nonEmpty)
+    // second append: one duplicate key (dropped), one new key (appended)
+    io.appendNew(spark, "t", Seq(("b", 99), ("c", 3)).toDF("k", "v"), Seq("k"))
+    val after = files()
+    assert(before.subsetOf(after), "existing files were rewritten by append")
+    assert(after.size > before.size, "no new file appended")
+    val rows = io.read(spark, "t").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rows == Map("a" -> 1, "b" -> 2, "c" -> 3),
+      s"append-new semantics wrong: $rows") // existing 'b' wins, not 99
+    // idempotent replay: appending the same delta again changes nothing
+    io.appendNew(spark, "t", Seq(("c", 3)).toDF("k", "v"), Seq("k"))
+    assert(io.read(spark, "t").count() == 3)
+  }
+
   test("overwritePartitions swaps only the listed partitions on storage") {
     val s = spark; import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("graftparts").toString

@@ -178,8 +178,7 @@ class GraphRagSuite extends AnyFunSuite {
       .select("chunkId").collect().map(_.getString(0)).toSet
     // the stored layout is median-thresholded; the query sketch must use
     // the same sidecar thresholds the materializer froze
-    val thr = io.read(spark, "chunk_vec_meta").orderBy("pid")
-      .collect().map(_.getAs[Double]("threshold"))
+    val thr = retrieve.VectorIndex.readThresholds(spark, io).get
     assert(thr.length == retrieve.VectorIndex.NumPlanes)
     val annDf = retrieval.vectorSearchAnn(
       io.read(spark, "chunk_vec_index"), chunksDs, q, k, thresholds = thr)
