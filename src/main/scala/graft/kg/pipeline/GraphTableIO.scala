@@ -46,6 +46,15 @@ trait GraphTableIO extends Serializable {
   def appendNew(spark: SparkSession, table: String, delta: DataFrame,
       keys: Seq[String]): Unit = merge(spark, table, delta, keys)
 
+  /** Cheap identity of `table`'s CURRENT stored snapshot, for checkpoint
+    * input fingerprints: any write to the table must change it, and
+    * computing it must not scan table rows (production: the Iceberg
+    * snapshot id, O(1) from metadata). Empty string = backend cannot
+    * provide one; callers fall back to a row-scan fingerprint. A
+    * false-negative (identical content, different fp — e.g. after a
+    * rewrite) only costs a checkpoint miss, never wrong reuse. */
+  def snapshotFp(spark: SparkSession, table: String): String = ""
+
   /** Run `f` holding the store's single-writer lease — a second
     * concurrent writer must FAIL FAST instead of corrupting the
     * non-transactional table swaps. Default: passthrough (a
@@ -130,6 +139,31 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
   def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(path(table))
 
+  /** File-manifest fingerprint — the parquet analogue of an Iceberg
+    * snapshot id: CRC over the sorted (relative path, length) listing.
+    * Sound as a snapshot identity because every write path here creates
+    * fresh uniquely-named part files (writeSwap / appendNew /
+    * overwritePartitions never modify a file in place). O(#files)
+    * driver-side metadata, zero table rows read. */
+  override def snapshotFp(spark: SparkSession, table: String): String = {
+    if (!exists(spark, table)) return "absent"
+    val hfs = fs(spark)
+    val base = new org.apache.hadoop.fs.Path(path(table))
+    val it = hfs.listFiles(base, true)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val s = it.next()
+      val name = s.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        val rel = s.getPath.toString.stripPrefix(base.toString)
+        entries += s"$rel:${s.getLen}"
+      }
+    }
+    val crc = new java.util.zip.CRC32()
+    entries.sorted.foreach(e => crc.update(e.getBytes("UTF-8")))
+    s"${entries.size}:${crc.getValue}"
+  }
+
   def merge(spark: SparkSession, table: String, delta: DataFrame,
       keys: Seq[String], partitionCols: Seq[String] = Nil): Unit = {
     // allowMissingColumns = true is the schema-evolution path: a column
@@ -175,7 +209,16 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
     // crashed append leaves no partial rows and a retry is idempotent
     val newRows = d.join(read(spark, table).select(keys.map(col): _*),
       keys, "left_anti")
-    newRows.write.mode(SaveMode.Append).parquet(path(table))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // a no-op replay (all keys already present — crash retry, streaming
+      // redelivery) must not touch storage: an empty append still writes
+      // a zero-row part file, which both perturbs the snapshot
+      // fingerprint (spurious checkpoint misses) and accumulates junk
+      // files in the listing over thousands of batches
+      if (!newRows.isEmpty)
+        newRows.write.mode(SaveMode.Append).parquet(path(table))
+    } finally { newRows.unpersist(blocking = false); () }
   }
 
   def overwritePartitions(spark: SparkSession, table: String, df: DataFrame,

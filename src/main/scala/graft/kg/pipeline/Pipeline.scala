@@ -61,7 +61,8 @@ final class Pipeline(
     */
   def run(corpus: Dataset[CorpusRow],
       existingVertices: Option[DataFrame] = None,
-      existingBandIndex: Option[DataFrame] = None): Result = {
+      existingBandIndex: Option[DataFrame] = None,
+      storeSnapshotFp: Option[String] = None): Result = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
@@ -133,10 +134,16 @@ final class Pipeline(
         // the aliases stage ALSO depends on the prior graph state in
         // incremental mode — fold a vertices-snapshot marker into its
         // fingerprint (but not into chunks/triples, which don't)
-        val evFp = existingVertices
-          .map(ev => s";ev=${identityFp(ev, col("name"))}").getOrElse("") +
-          existingBandIndex
-            .map(bi => s";bi=${identityFp(bi, col("name"))}").getOrElse("") +
+        // prior-state identity: prefer the store's snapshot fingerprint
+        // (O(metadata) — the Iceberg-snapshot-id analogue, supplied by
+        // materialize) over scanning the cumulative vertex/index tables
+        // per batch, which is the one remaining O(history) action the
+        // resume path would otherwise pay at every incremental ingest
+        val evFp = storeSnapshotFp.map(s => s";store=$s").getOrElse(
+          existingVertices
+            .map(ev => s";ev=${identityFp(ev, col("name"))}").getOrElse("") +
+            existingBandIndex
+              .map(bi => s";bi=${identityFp(bi, col("name"))}").getOrElse("")) +
           s";mb=${config.lshMaxBucket}" // cap changes the alias output
         ckpt.stage("aliases", "v1", fp + evFp) {
           (existingVertices, existingBandIndex) match {
@@ -219,7 +226,14 @@ final class Pipeline(
       if (existing.isDefined && io.exists(spark, "lsh_band_index"))
         Some(io.read(spark, "lsh_band_index"))
       else None
-    val r = run(corpus, existing, bandIndex)
+    // prior-state identity for the resume fingerprint, from storage
+    // metadata (Iceberg snapshot id analogue) — never from table rows
+    val storeFp = {
+      val v = io.snapshotFp(spark, "vertices")
+      val bi = io.snapshotFp(spark, "lsh_band_index")
+      if (v.isEmpty && bi.isEmpty) None else Some(s"v=$v;bi=$bi")
+    }
+    val r = run(corpus, existing, bandIndex, storeFp)
     import Pipeline.NumBuckets
     // the merges below consume chunks through three branches (chunks,
     // embeddings, terms) and triples through four more (edges, entity

@@ -253,6 +253,35 @@ class CompactionSuite extends AnyFunSuite {
     assert(io.read(spark, "t").count() == 3)
   }
 
+  test("snapshotFp tracks every write path from metadata alone") {
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftsnapfp").toString
+    val io = new ParquetTableIO(root)
+    assert(io.snapshotFp(spark, "t") == "absent")
+    io.merge(spark, "t", Seq(("a", 1), ("b", 2)).toDF("k", "v"), Seq("k"))
+    val fp1 = io.snapshotFp(spark, "t")
+    assert(fp1 != "absent" && fp1.nonEmpty)
+    // stable: same snapshot → same fp (checkpoint reuse depends on it)
+    assert(io.snapshotFp(spark, "t") == fp1)
+    // every write path must move it: merge rewrite ...
+    io.merge(spark, "t", Seq(("c", 3)).toDF("k", "v"), Seq("k"))
+    val fp2 = io.snapshotFp(spark, "t")
+    assert(fp2 != fp1, "merge did not change snapshotFp")
+    // ... append-only insert ...
+    io.appendNew(spark, "t", Seq(("d", 4)).toDF("k", "v"), Seq("k"))
+    val fp3 = io.snapshotFp(spark, "t")
+    assert(fp3 != fp2, "appendNew did not change snapshotFp")
+    // a no-op append (all keys exist) writes zero files → fp unchanged,
+    // so an idempotent replay still reuses its checkpoints
+    io.appendNew(spark, "t", Seq(("d", 4)).toDF("k", "v"), Seq("k"))
+    assert(io.snapshotFp(spark, "t") == fp3)
+    // computed from the file manifest, not table rows: no Spark job runs
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    io.snapshotFp(spark, "t")
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "snapshotFp ran a Spark job (row scan?)")
+  }
+
   test("overwritePartitions swaps only the listed partitions on storage") {
     val s = spark; import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("graftparts").toString
