@@ -282,6 +282,43 @@ class CompactionSuite extends AnyFunSuite {
     assert(after == before, "snapshotFp ran a Spark job (row scan?)")
   }
 
+  test("aliases checkpoint is REUSED on a retry with the same store snapshot") {
+    // the crash-retry contract: a batch that died before its merges
+    // re-runs against an unchanged store → same corpus fp + same
+    // snapshotFp → the aliases stage must read back, not recompute
+    val s = spark; import s.implicits._
+    val cfg = GraftConfig(linkMode = "lsh", linkThreshold = 0.85)
+    val io = new ParquetTableIO(
+      java.nio.file.Files.createTempDirectory("graftckreuse").toString)
+    new Pipeline(cfg).materialize(spark.createDataset(batches(0)), io)
+    val ev = io.read(spark, "vertices").localCheckpoint()
+    val bi = io.read(spark, "lsh_band_index")
+    val storeFp = Some(
+      s"v=${io.snapshotFp(spark, "vertices")};" +
+        s"bi=${io.snapshotFp(spark, "lsh_band_index")}")
+    val ckDir = java.nio.file.Files.createTempDirectory("graftck").toString
+    val ckCfg = cfg.copy(checkpointDir = Some(ckDir))
+    def attempt() = {
+      val r = new Pipeline(ckCfg).run(
+        spark.createDataset(batches(1)), Some(ev), Some(bi), storeFp)
+      val a = r.aliases.collect().map(p => (p.a, p.b)).toSet
+      r.cleanup(); a
+    }
+    val first = attempt()
+    val manifest = new java.io.File(s"$ckDir/aliases/_manifest.json")
+    assert(manifest.exists, "aliases stage wrote no checkpoint manifest")
+    val mtime = manifest.lastModified()
+    val second = attempt() // the retry
+    assert(second == first)
+    assert(manifest.lastModified() == mtime,
+      "retry recomputed the aliases stage instead of reusing the checkpoint")
+    // a store write moves snapshotFp → a LATER batch must NOT reuse it
+    assert(Some(s"v=${io.snapshotFp(spark, "vertices")};" +
+      s"bi=${io.snapshotFp(spark, "lsh_band_index")}") == storeFp)
+    new Pipeline(cfg).materialize(spark.createDataset(batches(2)), io)
+    assert(s"v=${io.snapshotFp(spark, "vertices")}" != storeFp.get.split(";")(0))
+  }
+
   test("overwritePartitions swaps only the listed partitions on storage") {
     val s = spark; import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("graftparts").toString
