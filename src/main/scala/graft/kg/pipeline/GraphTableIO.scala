@@ -108,7 +108,33 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
     if (scheme == null || scheme == "file") {
       val f0 = new java.io.File(
         new org.apache.hadoop.fs.Path(rootP, "_writer.lock").toUri.getPath)
-      if (!f0.createNewFile()) fail()
+      if (!f0.createNewFile()) {
+        // lease liveness (local scheme only, where pid liveness is
+        // checkable): the lease records its holder's pid — if that
+        // process is GONE the lease is a crash leftover and is reclaimed
+        // once, restoring availability without the manual delete. A live
+        // pid, the current pid (re-entrant attempt), or an unreadable /
+        // pid-less lease still fails fast — the fail-safe direction.
+        // (Read→delete→create is not atomic across processes: a waiter
+        // could delete a lease granted between its read and delete. The
+        // window is microseconds against a crash-recovery path that is
+        // rare by construction; production is Iceberg optimistic commit,
+        // which needs no lock at all.)
+        val stale = try {
+          "pid=(\\d+)".r.findFirstMatchIn(
+              java.nio.file.Files.readString(f0.toPath)) match {
+            case Some(m) =>
+              val pid = m.group(1).toLong
+              val alive = {
+                val h = ProcessHandle.of(pid)
+                h.isPresent && h.get().isAlive
+              }
+              pid != ProcessHandle.current().pid() && !alive
+            case None => false
+          }
+        } catch { case _: Exception => false }
+        if (!(stale && { f0.delete(); f0.createNewFile() })) fail()
+      }
       try java.nio.file.Files.writeString(f0.toPath,
         s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}\n")
       catch { case _: java.io.IOException => () }
@@ -153,11 +179,15 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
       val s = it.next()
-      val name = s.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) {
-        val rel = s.getPath.toString.stripPrefix(base.toString)
-        entries += s"$rel:${s.getLen}"
-      }
+      val rel = s.getPath.toString.stripPrefix(base.toString)
+      // hidden-ness applies to EVERY path component under the table root,
+      // not just the leaf: part files staged under a leftover _temporary
+      // dir (crashed/killed append job) are not table data, and folding
+      // them in would make the same logical snapshot fingerprint
+      // differently before and after cleanup (spurious checkpoint miss)
+      val hidden = rel.split('/')
+        .exists(c => c.startsWith("_") || c.startsWith("."))
+      if (!hidden) entries += s"$rel:${s.getLen}"
     }
     val crc = new java.util.zip.CRC32()
     entries.sorted.foreach(e => crc.update(e.getBytes("UTF-8")))

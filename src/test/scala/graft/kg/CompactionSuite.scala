@@ -319,6 +319,49 @@ class CompactionSuite extends AnyFunSuite {
     assert(s"v=${io.snapshotFp(spark, "vertices")}" != storeFp.get.split(";")(0))
   }
 
+  test("snapshotFp ignores files under leftover _temporary directories") {
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("grafttmpfp").toString
+    val io = new ParquetTableIO(root)
+    io.merge(spark, "t", Seq(("a", 1)).toDF("k", "v"), Seq("k"))
+    val fp = io.snapshotFp(spark, "t")
+    // a crashed/killed append job leaves staged part files under
+    // _temporary — NOT table data; the fingerprint must not see them
+    val tmp = new java.io.File(s"$root/t/_temporary/0/task_1")
+    assert(tmp.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(tmp, "part-00000.parquet").toPath, "junk")
+    assert(io.snapshotFp(spark, "t") == fp,
+      "_temporary leftovers perturbed the snapshot fingerprint")
+    // cleanup restores the same fp trivially (same visible file set)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$root/t/_temporary"))
+    assert(io.snapshotFp(spark, "t") == fp)
+  }
+
+  test("writer lease: dead-pid lease is reclaimed, live-pid lease fails fast") {
+    val s = spark; import s.implicits._
+    val cfg = GraftConfig(linkMode = "lsh", linkThreshold = 0.7)
+    val root = java.nio.file.Files.createTempDirectory("graftlease").toString
+    val io = new ParquetTableIO(root)
+    new java.io.File(root).mkdirs()
+    val lock = new java.io.File(root, "_writer.lock")
+    // a lease left by a CRASHED writer: records a pid that no longer
+    // exists (pid numbers are bounded well below 2^22 on linux)
+    java.nio.file.Files.writeString(lock.toPath, "pid=999999999 ts=0\n")
+    new Pipeline(cfg).materialize(spark.createDataset(batches(0)), io)
+    assert(io.exists(spark, "edges"), "dead-pid lease was not reclaimed")
+    assert(!lock.exists(), "writer did not release the reclaimed lease")
+    // a lease held by a LIVE process (this one) still fails fast
+    java.nio.file.Files.writeString(lock.toPath,
+      s"pid=${ProcessHandle.current().pid()} ts=0\n")
+    val e = intercept[IllegalStateException] {
+      new Pipeline(cfg).materialize(spark.createDataset(batches(1)), io)
+    }
+    assert(e.getMessage.contains("locked"))
+    assert(lock.delete())
+  }
+
   test("overwritePartitions swaps only the listed partitions on storage") {
     val s = spark; import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("graftparts").toString
