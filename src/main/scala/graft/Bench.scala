@@ -72,10 +72,16 @@ object Bench {
     // kg_files_per_sec denominator, comparable across rounds — planning,
     // chunk/extract chain and edge dedup all included. The plan-once
     // figure below is reported under its own clearly-named key so the two
-    // protocols can never be conflated.
-    val bigE2eSec = time {
+    // protocols can never be conflated. MEDIAN OF 3 fresh-plan runs with
+    // every iteration published (`kg_pipeline_1m_e2e_all`): the round-4
+    // headline was a single-iteration number, and one CPU-steal burst
+    // defined the round's throughput (a 7× spread against the fresh-JVM
+    // ScalingBench medians) — the median + transparency makes the
+    // headline unspoofable by one bad window.
+    val e2eRuns = (1 to 3).map(_ => time {
       new Pipeline(GraftConfig(linkMode = "exact")).run(big).edges.count()
-    }
+    })
+    val bigE2eSec = e2eRuns.sorted.apply(1)
     results += "kg_pipeline_1m_e2e" -> bigE2eSec
     // plan-once / execute-many (the ScalingBench protocol — one plan,
     // hours of execution in production): median of 3 on a single built
@@ -147,15 +153,19 @@ object Bench {
       val ingestSec = time { rag.ingest(bigCorpus) }
       results += "kg_ingest_250k_store" -> ingestSec
       bigCorpus.unpersist(blocking = false)
+      // keys carry the protocol in the name (median-of-3 AFTER one
+      // warm-up call = warm steady-state, same as the small store's
+      // kg_query_warm_* family). r4 names were kg_query_big_* — renamed,
+      // recorded under "renamed_keys" in the JSON for cross-round joins.
       def med3(f: => Unit): Double = { f; (1 to 3).map(_ => time(f)).sorted.apply(1) }
       val q = "utils imports module parseTree"
-      results += "kg_query_big_hybrid_exact" -> med3 {
+      results += "kg_query_big_warm_hybrid_exact" -> med3 {
         rag.query(q, includeTriplets = false).chunks.count()
       }
-      results += "kg_query_big_hybrid_ann" -> med3 {
+      results += "kg_query_big_warm_hybrid_ann" -> med3 {
         rag.query(q, includeTriplets = false, vectorMode = "ann").chunks.count()
       }
-      results += "kg_query_big_relationship_indexed" -> med3 {
+      results += "kg_query_big_warm_relationship_indexed" -> med3 {
         rag.query("What does Utils use?", includeTriplets = true)
           .triplets.foreach(_.count())
       }
@@ -185,7 +195,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.sum
+    // "total" keeps its cross-round meaning: the ONE-TIME store-build key
+    // (a ~250k-doc ingest, not a query) is reported per-key but excluded
+    // from the sum — folding it in made r4's total incomparable with r3's
+    val totalExcludes = Set("kg_ingest_250k_store")
+    val total = results.collect {
+      case (k, v) if !totalExcludes.contains(k) => v
+    }.sum
     // headline kg_files_per_sec = END-TO-END (fresh plan + execution) on
     // the 1M-doc corpus — comparable with prior rounds' end-to-end figure;
     // the plan-once execution throughput gets its own key
@@ -199,8 +215,13 @@ object Bench {
         s""""sf":"$sfDir","kg_docs":$nDocs,"kg_edges":$kgEdges,""" +
         s""""kg_throughput_docs":$bigDocs,""" +
         s""""kg_files_per_sec":${f"$filesPerSec%.1f"},""" +
+        s""""kg_pipeline_1m_e2e_all":[${e2eRuns.map(x => f"$x%.3f").mkString(",")}],""" +
         s""""kg_exec_files_per_sec":${f"$execFilesPerSec%.1f"},""" +
         s""""kg_files_per_sec_sf_plan_bound":${f"$filesPerSecSf%.1f"},""" +
+        s""""total_excludes":["kg_ingest_250k_store"],""" +
+        s""""renamed_keys":{"kg_query_big_hybrid_exact":"kg_query_big_warm_hybrid_exact",""" +
+        s""""kg_query_big_hybrid_ann":"kg_query_big_warm_hybrid_ann",""" +
+        s""""kg_query_big_relationship_indexed":"kg_query_big_warm_relationship_indexed"},""" +
         s""""failed":$failedJson}"""
     // stdout (unprefixed via build.sbt outputStrategy) AND a file copy,
     // so the harness can parse the result either way. A failed write must

@@ -113,6 +113,23 @@ object Queries {
       val r = kgResult(s, dir, "lsh")
       r.canonical.toDF().filter(col("name") =!= col("canonicalName"))
         .orderBy("name")
+    }),
+    // the full canonical edge set under lsh linking (what compaction
+    // materializes), against the straight-line KgOracle reimplementation
+    "kg_canonical_edges" -> ((s: SparkSession, dir: String) => {
+      val r = kgResult(s, dir, "lsh")
+      r.canonicalEdges.toDF().orderBy("subj", "pred", "obj")
+    }),
+    // the facade's canonical relationship lookup: query-entity surface
+    // forms canonicalized through the map, entity-bucket-pruned lookup
+    // over the canonical edge index (GraphRag.query's triplet default)
+    "kg_relationship_search_canonical" -> ((s: SparkSession, dir: String) => {
+      val r = kgResult(s, dir, "lsh")
+      val idx = graft.kg.pipeline.Pipeline.entityIndexRows(r.canonicalEdges.toDF())
+      val cmap = r.canonical.toDF().filter(col("name") =!= col("canonicalName"))
+      new graft.kg.retrieve.Retrieval(new graft.kg.embed.HashEmbedder())
+        .relationshipSearchCanonical(idx, cmap,
+          graft.kg.oracle.KgOracle.canonicalRelQuery)
     }))
 
   def all: Map[String, (SparkSession, String) => DataFrame] =

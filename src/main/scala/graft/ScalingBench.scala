@@ -124,7 +124,33 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def series(cfg: GraftConfig, label: String): Seq[Double] = {
+    // per-batch physical I/O accounting (task-level input/output byte
+    // counters summed between batch boundaries): the store-bound cost
+    // model's evidence — per-batch reads and writes must track the
+    // BATCH, not the cumulative store. Listener delivery is async; a
+    // short stability poll after each batch drains the bus (measurement
+    // tool, not engine code).
+    val bytesIn = new java.util.concurrent.atomic.AtomicLong
+    val bytesOut = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          bytesIn.addAndGet(m.inputMetrics.bytesRead)
+          bytesOut.addAndGet(m.outputMetrics.bytesWritten); ()
+        }
+      }
+    })
+    def drained(): (Long, Long) = {
+      var last = (-1L, -1L)
+      var cur = (bytesIn.get, bytesOut.get)
+      while (cur != last) { Thread.sleep(300); last = cur; cur = (bytesIn.get, bytesOut.get) }
+      cur
+    }
+
+    final case class BatchStat(sec: Double, readMb: Double, writeMb: Double)
+    def series(cfg: GraftConfig, label: String): Seq[BatchStat] = {
       val root = java.nio.file.Files
         .createTempDirectory(s"graft_incr_$label").toString
       val io = new graft.kg.pipeline.ParquetTableIO(root)
@@ -134,12 +160,18 @@ object ScalingBench {
             repoOffset = 1 + b * reposPerBatch) // skip repo 0 (10x mega-repo)
           .repartition(cores).cache()
         corpus.count() // input materialized outside the timed span
+        val (in0, out0) = drained()
         val t0 = System.nanoTime()
         new Pipeline(cfg).materialize(corpus, io)
         val sec = (System.nanoTime() - t0) / 1e9
+        val (in1, out1) = drained()
         corpus.unpersist(blocking = false)
-        System.err.println(f"[incr] $label batch $b: $sec%.2f s")
-        sec
+        val st = BatchStat(sec,
+          (in1 - in0) / 1e6, (out1 - out0) / 1e6)
+        System.err.println(
+          f"[incr] $label batch $b: ${st.sec}%.2f s, " +
+            f"read ${st.readMb}%.0f MB, wrote ${st.writeMb}%.0f MB")
+        st
       }
     }
 
@@ -153,9 +185,13 @@ object ScalingBench {
     println(
       s"""{"metric":"kg_incremental","batches":$batches,""" +
         s""""docs_per_batch":${reposPerBatch * files},"cores":$cores,""" +
-        s""""delta_secs":${fmt(delta)},"full_secs":${fmt(full)},""" +
-        s""""delta_growth":${f"${growth(delta)}%.2f"},""" +
-        s""""full_growth":${f"${growth(full)}%.2f"}}""")
+        s""""delta_secs":${fmt(delta.map(_.sec))},"full_secs":${fmt(full.map(_.sec))},""" +
+        s""""delta_growth":${f"${growth(delta.map(_.sec))}%.2f"},""" +
+        s""""full_growth":${f"${growth(full.map(_.sec))}%.2f"},""" +
+        s""""delta_read_mb":${fmt(delta.map(_.readMb))},""" +
+        s""""delta_write_mb":${fmt(delta.map(_.writeMb))},""" +
+        s""""delta_read_growth":${f"${growth(delta.map(_.readMb))}%.2f"},""" +
+        s""""delta_write_growth":${f"${growth(delta.map(_.writeMb))}%.2f"}}""")
     spark.stop()
   }
 }

@@ -99,15 +99,17 @@ final class GraphRag(
   /** Per-plane median thresholds of the stored ANN layout (the
     * `chunk_vec_meta` sidecar — 32 rows). FROZEN once an index exists,
     * so caching per facade instance is safe; [[ingest]]/[[reset]] drop
-    * the cache in case they created or truncated the sidecar. Absent on
-    * legacy stores → zero thresholds = the raw-sign layout. */
-  @volatile private var annThresholdsCache: Array[Double] = null
-  private def annThresholds: Array[Double] = {
+    * the cache in case they created or truncated the sidecar. None =
+    * the store has no sidecar — an index without one was written by a
+    * legacy engine under an UNKNOWABLE geometry, so it is never probed
+    * (queries fall back to the exact scan until the next ingest's
+    * geometry-upgrade migration rebuilds it; see Pipeline.materialize). */
+  @volatile private var annThresholdsCache: Option[Array[Double]] = null
+  private def annThresholds: Option[Array[Double]] = {
     val cached = annThresholdsCache
     if (cached != null) cached
     else {
       val t = graft.kg.retrieve.VectorIndex.readThresholds(spark, io)
-        .getOrElse(graft.kg.retrieve.VectorIndex.zeroThresholds)
       annThresholdsCache = t
       t
     }
@@ -151,14 +153,16 @@ final class GraphRag(
     }
     val vectorHits =
       if (vectorMode == "ann" && io.exists(spark, "chunk_vec_index") &&
-          // a sidecar from a DIFFERENT index geometry (plane count
-          // mismatch) means the store predates the current layout —
-          // fall back to the exact scan until an ingest/rebuild migrates
-          // the index (Pipeline's geometry-upgrade path)
-          annThresholds.length == graft.kg.retrieve.VectorIndex.NumPlanes)
+          // a MISSING sidecar (legacy index, geometry unknowable) or one
+          // from a DIFFERENT index geometry (plane-count mismatch) means
+          // the store predates the current layout — fall back to the
+          // exact scan until an ingest/rebuild migrates the index
+          // (Pipeline's geometry-upgrade path)
+          annThresholds.exists(
+            _.length == graft.kg.retrieve.VectorIndex.NumPlanes))
         Some(retrieval.vectorSearchAnn(
           table("chunk_vec_index"), chunksDs, q, topK,
-          thresholds = annThresholds))
+          thresholds = annThresholds.get))
       else None
     val hits =
       if (withContext) {
@@ -171,15 +175,32 @@ final class GraphRag(
       }
     val triplets =
       if (includeTriplets)
-        // prefer the entity-bucketed secondary layout (partition-pruned
-        // per-entity lookup); fall back to the edge scan on stores written
-        // before the index existed
-        Some(if (io.exists(spark, "edge_entity_index"))
+        // DEFAULT: the canonical graph — query entities canonicalized
+        // through canonical_map, lookup against the entity-bucketed
+        // canonical_edges layout, so a query by ANY alias surface form
+        // of a merged entity returns the merged component's edges (the
+        // reference's alias cross-product reachability,
+        // triplets.py:371-398 / retrieval.py:265-314). Base-edge
+        // fallbacks serve stores written before each index existed.
+        Some(if (io.exists(spark, "canonical_edge_entity_index"))
+          retrieval.relationshipSearchCanonical(
+            table("canonical_edge_entity_index"), canonicalMapOrEmpty(),
+            q, topK)
+        else if (io.exists(spark, "edge_entity_index"))
           retrieval.relationshipSearchIndexed(
             table("edge_entity_index"), q, topK)
         else retrieval.relationshipSearch(table("edges"), q, topK))
       else None
     QueryResult(hits, triplets)
+  }
+
+  /** The store's canonical map (non-identity rows), or a typed empty
+    * frame on stores that predate the table — the canonical relationship
+    * lookup then degrades gracefully to identity canonicalization. */
+  private def canonicalMapOrEmpty(): DataFrame = {
+    import spark.implicits._
+    if (io.exists(spark, "canonical_map")) table("canonical_map")
+    else spark.emptyDataset[CanonicalMapping].toDF()
   }
 
   /** Read-time canonical view — the cheap alternative to compaction when
@@ -220,8 +241,8 @@ final class GraphRag(
     * counts, `cli/main.py:90-104`). */
   def stats(): Map[String, Long] =
     Seq("chunks", "chunk_embeddings", "chunk_vec_index", "chunk_vec_meta",
-      "terms", "edges", "edge_entity_index", "canonical_edges", "vertices",
-      "aliases", "lsh_band_index")
+      "terms", "edges", "edge_entity_index", "canonical_edges",
+      "canonical_edge_entity_index", "vertices", "aliases", "lsh_band_index")
       .filter(io.exists(spark, _))
       .map(t => t -> io.read(spark, t).count()).toMap
 
@@ -233,7 +254,8 @@ final class GraphRag(
     dropCaches()
     Seq("chunks", "chunk_embeddings", "chunk_vec_index", "chunk_vec_meta",
       "terms", "edges", "edge_entity_index", "canonical_edges",
-      "canonical_map", "vertices", "aliases", "lsh_band_index").foreach { t =>
+      "canonical_edge_entity_index", "canonical_map", "vertices", "aliases",
+      "lsh_band_index").foreach { t =>
       if (io.exists(spark, t)) {
         val schema = io.read(spark, t).schema
         val empty = spark.createDataFrame(

@@ -27,6 +27,14 @@ import scala.collection.mutable
   */
 object KgOracle {
 
+  /** Fixture query of the canonical relationship family — shared by
+    * [[writeExpected]] and `graft.Queries` so both sides compute the same
+    * expectation. The surface forms `Mergelib` / `Parselib` are ALIASES
+    * (non-canonical members) of linked components at sf0.01 — the
+    * canonical lookup provably answers differently (more edges, under the
+    * merged canonical names) than the base-edge path would. */
+  val canonicalRelQuery = "What links Mergelib and Parselib?"
+
   // ===== text spec, reimplemented straight-line =====
 
   private def isWordChar(c: Char): Boolean =
@@ -366,6 +374,43 @@ object KgOracle {
         .map { case (cid, sc) => (cid, sc, chunkText(cid)) }
     }
 
+    // ---- canonical-graph expectations (lsh mode) ----
+
+    /** Canonical edge set under lsh linking: base edges remapped through
+      * the [[canonicalLsh]] map (identity for unlinked names), re-deduped
+      * on the canonical (subj, pred, obj) key with min provenance — the
+      * straight-line form of the Materialize.canonicalEdges spec. */
+    lazy val canonicalEdgesLsh: Vector[(String, String, String, String, String)] = {
+      val cmap = canonicalLsh().toMap
+      edges
+        .map { case (s, p, o, _, src) =>
+          (cmap.getOrElse(s, s), cmap.getOrElse(p, p), cmap.getOrElse(o, o), src) }
+        .groupBy(e => (e._1, e._2, e._3))
+        .map { case ((s, p, o), es) => (s, p, o, "triplet", es.map(_._4).min) }
+        .toVector
+    }
+
+    /** Canonical relationship lookup: query surface forms canonicalized
+      * through the lsh map, per-canonical-entity edge filter over
+      * [[canonicalEdgesLsh]], `entity` column = the QUERY's surface form,
+      * same per-entity top-k + global cap as [[relationshipSearch]]. */
+    def relationshipSearchCanonical(query: String, topK: Int = 10)
+        : Vector[(String, String, String, String, String, String)] = {
+      val cmap = canonicalLsh().toMap
+      val entities = "[A-Z][a-z]+(?:\\s+[A-Z][a-z]+)*".r
+        .findAllIn(query).map(_.toLowerCase).toVector.distinct
+      if (entities.isEmpty) return Vector.empty
+      val pairs = entities.map(e => (e, cmap.getOrElse(e, e)))
+      val exploded = canonicalEdgesLsh.flatMap { case (s, p, o, l, src) =>
+        pairs.collect { case (qe, ce) if ce == s || ce == o =>
+          (s, p, o, l, src, qe) }
+      }
+      exploded.groupBy(_._6).toVector.flatMap { case (_, es) =>
+        es.sortBy(e => (e._1, e._2, e._3)).take(topK)
+      }.sortBy(e => (e._6, e._1, e._2, e._3))
+        .take(topK * math.max(entities.size, 1))
+    }
+
     // ---- LSH canonicalization expectation ----
 
     /** Char-3-gram shingle set with sentinels (blocking feature space). */
@@ -476,6 +521,11 @@ object KgOracle {
         .toDF("subj", "pred", "obj", "label", "sourceChunkId", "entity"))
     put("kg_vector_ann",
       e.vectorAnn("utils imports module parseTree").toDF("chunkId", "score", "text"))
+    put("kg_canonical_edges",
+      e.canonicalEdgesLsh.toDF("subj", "pred", "obj", "label", "sourceChunkId"))
+    put("kg_relationship_search_canonical",
+      e.relationshipSearchCanonical(canonicalRelQuery)
+        .toDF("subj", "pred", "obj", "label", "sourceChunkId", "entity"))
   }
 
   /** Oracle SQL for the kg_* family: read the expected parquet back.
@@ -498,5 +548,9 @@ object KgOracle {
     "kg_relationship_search" ->
       "SELECT * FROM read_parquet('{OUT}/kg_relationship_search/*.parquet') ORDER BY entity, subj, pred, obj",
     "kg_vector_ann" ->
-      "SELECT * FROM read_parquet('{OUT}/kg_vector_ann/*.parquet') ORDER BY score DESC, chunkId")
+      "SELECT * FROM read_parquet('{OUT}/kg_vector_ann/*.parquet') ORDER BY score DESC, chunkId",
+    "kg_canonical_edges" ->
+      "SELECT * FROM read_parquet('{OUT}/kg_canonical_edges/*.parquet') ORDER BY subj, pred, obj",
+    "kg_relationship_search_canonical" ->
+      "SELECT * FROM read_parquet('{OUT}/kg_relationship_search_canonical/*.parquet') ORDER BY entity, subj, pred, obj")
 }

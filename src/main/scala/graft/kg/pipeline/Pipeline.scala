@@ -27,6 +27,26 @@ object Pipeline {
     * with the query side so entity-bucket pruning computes the same
     * bucket ids the writer laid down. */
   val NumBuckets = 32
+
+  /** Entity-bucketed secondary layout rows of an edge frame: one row per
+    * (entity ∈ {subj, obj}, edge), `ebucket = pmod(hash(entity), N)` —
+    * the per-entity-lookup index shape shared by `edge_entity_index`
+    * (base edges) and `canonical_edge_entity_index` (canonical edges).
+    * Deduped on the index key: a self-edge (subj == obj after
+    * canonicalization) explodes into two identical rows. */
+  def entityIndexRows(edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    edges
+      .select(explode(array(col("subj"), col("obj"))).as("entity"),
+        col("subj"), col("pred"), col("obj"), col("label"), col("sourceChunkId"))
+      .dropDuplicates("entity", "subj", "pred", "obj")
+      .withColumn("ebucket", pmod(hash(col("entity")), lit(NumBuckets)))
+
+  /** canonical_map rows under the name-hash-bucketed layout (`cbucket`):
+    * the query side canonicalizes its few surface-form entities with a
+    * partition-pruned probe instead of scanning the whole linked-name
+    * map (see [[graft.kg.retrieve.Retrieval.relationshipSearchCanonical]]). */
+  def canonicalMapLayout(map: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    map.withColumn("cbucket", pmod(hash(col("name")), lit(NumBuckets)))
 }
 
 final class Pipeline(
@@ -147,14 +167,16 @@ final class Pipeline(
           s";mb=${config.lshMaxBucket}" // cap changes the alias output
         ckpt.stage("aliases", "v1", fp + evFp) {
           (existingVertices, existingBandIndex) match {
-            case (Some(ev), Some(idx)) =>
+            case (Some(_), Some(idx)) =>
               // INCREMENTAL linking: probe the stored band index with
               // the batch's signatures — per-batch linking compute
               // scales with the batch, not the cumulative mention
               // universe (re-signing + self-joining the universe every
-              // batch was the last O(history) stage of the ingest path)
-              Link.lshAliasesIncremental(mentionVecs, idx,
-                ev.select($"name", $"vec"),
+              // batch was the last O(history) stage of the ingest path).
+              // Old-side vectors are recomputed inline (pure function of
+              // the name), so the batch reads NO vertex rows at all.
+              Link.lshAliasesIncremental(
+                mentions.select($"name").distinct(), idx, embedder,
                 config.linkThreshold, config.linkTopK,
                 maxBucket = config.lshMaxBucket,
                 broadcastSmall = !config.saltedCanonicalJoin).toDF()
@@ -212,13 +234,19 @@ final class Pipeline(
     // began but never completed forces one full canonical rebuild now
     val priorIncomplete = io.flagSet(spark, "batch_inflight")
     io.setFlag(spark, "batch_inflight")
-    // incremental: link new mentions against the existing entity table.
-    // localCheckpoint snapshots the prior state — the merge below swaps
-    // the table directory out from under a lazy scan otherwise (at real
-    // scale both snapshots are free: Iceberg reads are snapshot-isolated)
+    // incremental gating + legacy-path link universe. NO snapshot (and
+    // no localCheckpoint materialization) of the vertex table is taken:
+    // the incremental path never reads vertex rows — linking probes the
+    // stored band index and embeds candidates inline — so per-batch
+    // vertices I/O is zero, not O(store). The legacy full-join path
+    // (store predating the band index) does scan this frame lazily, and
+    // its result is invariant to whether the scan lands before or after
+    // this batch's vertices swap: the swap only ADDS the batch's own
+    // names, which the union universe already contains with identical
+    // deterministic vectors.
     val existing =
       if (config.linkMode == "lsh" && io.exists(spark, "vertices"))
-        Some(io.read(spark, "vertices").localCheckpoint())
+        Some(io.read(spark, "vertices"))
       else None
     // no snapshot needed: the index is append-only (appendNew) — a
     // DataFrame opened here lists the pre-batch files and stays valid
@@ -260,8 +288,21 @@ final class Pipeline(
       .withColumn("pbucket", pmod(hash(col("pred")), lit(NumBuckets)))
     val verticesPart = r.vertices.toDF()
       .withColumn("nbucket", pmod(hash(col("name")), lit(NumBuckets)))
-    io.merge(spark, "chunks", r.chunks.toDF(), Seq("chunkId"))
-    io.merge(spark, "chunk_embeddings", r.chunkEmbeddings.toDF(), Seq("chunkId"))
+    // chunks / embeddings / terms / the steady-state vec index hold rows
+    // that are PURE FUNCTIONS of their keys under a fixed pipeline config
+    // (chunkId determines its text; text determines embeddings, terms
+    // and — under the frozen thresholds — vec-index buckets), so they
+    // take the APPEND-ONLY write path: per-batch write I/O is O(batch),
+    // not O(store) (the round-4 store-bound-ingest finding; the same
+    // measured lesson as the band index — a full-table rewrite per batch
+    // swamps the compute win). First-wins collision semantics == the
+    // reference's Neo4j `MERGE ... ON CREATE SET`. A config change that
+    // redefines the key→row function (chunk size, stopwords) requires a
+    // reset, exactly as it does for the reference. appendNew falls back
+    // to the schema-evolving full MERGE on stores whose layout or column
+    // set predates the current engine.
+    io.appendNew(spark, "chunks", r.chunks.toDF(), Seq("chunkId"))
+    io.appendNew(spark, "chunk_embeddings", r.chunkEmbeddings.toDF(), Seq("chunkId"))
     // ANN scale path for O1 vector search: LSH sign-sketch layout of the
     // chunk embeddings under l=<table>/vbucket=<bucket> partition dirs
     // (Retrieval.vectorSearchAnn prunes to the query's probe buckets
@@ -279,43 +320,64 @@ final class Pipeline(
           .toDF("pid", "threshold"))
     val storedVecMeta: Option[Array[Double]] =
       VectorIndex.readThresholds(spark, io)
+    // GEOMETRY UPGRADE / legacy migration: rebuild the index wholesale
+    // from the cumulative embeddings table (already merged above), under
+    // fresh medians. Order matters for crash safety: the INDEX swaps
+    // first, the sidecar last — a crash in between leaves {new index, no
+    // or stale sidecar}, which the detectors below treat as another
+    // upgrade (idempotent rebuild); sidecar-first would leave a
+    // matching-length sidecar over an old-geometry index, silently
+    // defeating the detector.
+    def rebuildIndexWholesale(): Unit = {
+      val t = VectorIndex.computeThresholds(
+        io.read(spark, "chunk_embeddings"), embedder.dim)
+      io.overwrite(spark, "chunk_vec_index",
+        VectorIndex.layout(io.read(spark, "chunk_embeddings"),
+          embedder.dim, t),
+        Seq("l", "vbucket"))
+      writeVecMeta(t)
+    }
     storedVecMeta match {
       case Some(t) if t.length == VectorIndex.NumPlanes =>
-        // steady state: merge the batch under the frozen thresholds
-        io.merge(spark, "chunk_vec_index",
-          VectorIndex.layout(r.chunkEmbeddings.toDF(), embedder.dim, t),
-          Seq("chunkId", "l"), Seq("l", "vbucket"))
+        // staleness probe before committing to the frozen geometry: a
+        // statistically meaningful batch whose projections land
+        // lopsidedly against the frozen median cuts signals a shifted
+        // embedding distribution — occupancy would re-skew and silently
+        // erode the row-pruning win, so the index rebuilds wholesale
+        // under fresh cumulative medians instead (policy constants and
+        // rationale: VectorIndex.StaleSkewBound)
+        val skew = VectorIndex.occupancySkew(
+          r.chunkEmbeddings.toDF(), embedder.dim, t)
+        if (skew.exists(_ > VectorIndex.StaleSkewBound)) rebuildIndexWholesale()
+        else
+          // steady state: APPEND the batch under the frozen thresholds
+          // (bucket is a pure function of the key while they are frozen —
+          // the largest table of the store never rewrites on ingest)
+          io.appendNew(spark, "chunk_vec_index",
+            VectorIndex.layout(r.chunkEmbeddings.toDF(), embedder.dim, t),
+            Seq("chunkId", "l"), Seq("l", "vbucket"))
       case Some(_) =>
-        // GEOMETRY UPGRADE: the stored sidecar was written under a
-        // different (L·K) layout — merging new rows bucketed under the
-        // current geometry into the old directories would corrupt the
-        // index. Rebuild it wholesale from the cumulative embeddings
-        // table (already merged above), under fresh medians. Order
-        // matters for crash safety: the INDEX swaps first, the sidecar
-        // last — a crash in between leaves {new index, old sidecar},
-        // which the plane-count mismatch detector treats as another
-        // upgrade (idempotent rebuild); sidecar-first would leave a
-        // matching-length sidecar over an old-geometry index, silently
-        // defeating the detector.
-        val t = VectorIndex.computeThresholds(
-          io.read(spark, "chunk_embeddings"), embedder.dim)
-        io.overwrite(spark, "chunk_vec_index",
-          VectorIndex.layout(io.read(spark, "chunk_embeddings"),
-            embedder.dim, t),
-          Seq("l", "vbucket"))
-        writeVecMeta(t)
+        // the stored sidecar was written under a different (L·K) layout —
+        // merging new rows bucketed under the current geometry into the
+        // old directories would corrupt the index
+        rebuildIndexWholesale()
+      case None if io.exists(spark, "chunk_vec_index") =>
+        // a PRE-EXISTING index with NO sidecar: laid down by a legacy
+        // engine whose geometry is UNKNOWABLE from the dirs alone (the
+        // raw-sign era used a different K and plane numbering) — pinning
+        // zero thresholds here would mix two incompatible layouts in one
+        // table and silently lose recall on every pre-upgrade row,
+        // permanently. Treat it exactly like the sidecar-mismatch case.
+        // (GraphRag queries fall back to the exact scan until this
+        // migration runs — an index without a sidecar is never probed.)
+        rebuildIndexWholesale()
       case None =>
-        // no sidecar: a PRE-EXISTING index was laid down by the legacy
-        // raw-sign code — pin zeros (median-splitting a half-written
-        // legacy layout would scatter new rows into the wrong dirs);
-        // a genuinely fresh store computes the medians
-        val t =
-          if (io.exists(spark, "chunk_vec_index")) VectorIndex.zeroThresholds
-          else VectorIndex.computeThresholds(r.chunkEmbeddings.toDF(), embedder.dim)
-        writeVecMeta(t)
+        // genuinely fresh store: compute the medians over the batch
+        val t = VectorIndex.computeThresholds(r.chunkEmbeddings.toDF(), embedder.dim)
         io.merge(spark, "chunk_vec_index",
           VectorIndex.layout(r.chunkEmbeddings.toDF(), embedder.dim, t),
           Seq("chunkId", "l"), Seq("l", "vbucket"))
+        writeVecMeta(t)
     }
     // terms dedup on the MERGE key but KEEP the in-flight multiplicity as
     // a tf column — termSearch's documented score is TF summed per chunk,
@@ -326,7 +388,7 @@ final class Pipeline(
     // instead of reading the full terms table — at 100× the terms table is
     // the largest table in the store and an unpruned per-query scan of it
     // would dominate query latency.
-    io.merge(spark, "terms",
+    io.appendNew(spark, "terms",
       r.terms.toDF().groupBy("chunkId", "text", "termType")
         .agg(count(lit(1)).as("tf"))
         .withColumn("tbucket", pmod(hash(col("text")), lit(NumBuckets))),
@@ -339,11 +401,7 @@ final class Pipeline(
     // pred-hash primary layout prunes nothing for a by-entity filter.
     // Edges are immutable keyed rows, so exploding only the DELTA keeps
     // the index complete under MERGE accumulation.
-    val edgeIndexDelta = r.edges.toDF()
-      .select(explode(array(col("subj"), col("obj"))).as("entity"),
-        col("subj"), col("pred"), col("obj"), col("label"), col("sourceChunkId"))
-      .withColumn("ebucket", pmod(hash(col("entity")), lit(NumBuckets)))
-    io.merge(spark, "edge_entity_index", edgeIndexDelta,
+    io.merge(spark, "edge_entity_index", Pipeline.entityIndexRows(r.edges.toDF()),
       Seq("entity", "subj", "pred", "obj"), Seq("ebucket"))
     // canonical rows are NEVER merged from the batch-local map on
     // incremental batches: the batch's linking runs over its own alias
@@ -366,6 +424,15 @@ final class Pipeline(
         .withColumn("pbucket", pmod(hash(col("pred")), lit(NumBuckets)))
       io.merge(spark, "canonical_edges", canonEdgesPart,
         Seq("subj", "pred", "obj"), Seq("pbucket"))
+      // the QUERY-side layout of the canonical graph: the facade's
+      // triplet lookup canonicalizes its entities and partition-prunes
+      // this index — without it the linking/CC/compaction output would
+      // be invisible to `graphrag query` (the reference's alias
+      // cross-product makes merged relationships reachable from ANY
+      // alias surface form, triplets.py:371-398 / retrieval.py:265-314)
+      io.merge(spark, "canonical_edge_entity_index",
+        Pipeline.entityIndexRows(r.canonicalEdges.toDF()),
+        Seq("entity", "subj", "pred", "obj"), Seq("ebucket"))
     }
     io.merge(spark, "vertices", verticesPart, Seq("name"), Seq("nbucket"))
     io.merge(spark, "aliases", r.aliases.toDF(), Seq("a", "b"))
@@ -394,9 +461,12 @@ final class Pipeline(
     }
     if (freshFastPath) {
       // the canonical-map table (CC output: LINKED names only, name →
-      // canonicalName) seeds the next batch's delta compaction
+      // canonicalName) seeds the next batch's delta compaction and
+      // canonicalizes query entities (cbucket-pruned probe)
       io.overwrite(spark, "canonical_map",
-        r.canonical.toDF().filter(col("name") =!= col("canonicalName")))
+        Pipeline.canonicalMapLayout(
+          r.canonical.toDF().filter(col("name") =!= col("canonicalName"))),
+        Seq("cbucket"))
     } else if (config.fullCompaction || priorIncomplete) compact(spark, io)
     else compactDelta(spark, io, r.edges, r.aliases)
     // aliases lifecycle: the table's only consumer is connected
@@ -416,8 +486,8 @@ final class Pipeline(
     if (pinnedAliases) r.aliases.unpersist(blocking = false)
     r.cleanup()
     val tableCounts = Seq("chunks", "chunk_embeddings", "chunk_vec_index",
-      "terms", "edges", "edge_entity_index", "canonical_edges", "vertices",
-      "aliases", "lsh_band_index")
+      "terms", "edges", "edge_entity_index", "canonical_edges",
+      "canonical_edge_entity_index", "vertices", "aliases", "lsh_band_index")
       .filter(io.exists(spark, _)) // lsh_band_index is lsh-mode-only
       .map(t => t -> io.read(spark, t).count()).toMap
     // fold in the observed in-flight stage counters (Metrics piggyback on
@@ -450,6 +520,13 @@ final class Pipeline(
       .canonicalEdges(baseEdges, canonAll, salted = config.saltedCanonicalJoin)
       .toDF().withColumn("pbucket", pmod(hash(col("pred")), lit(Pipeline.NumBuckets)))
     io.overwrite(spark, "canonical_edges", compacted, Seq("pbucket"))
+    // the entity-bucketed query layout of the canonical graph is derived
+    // state of canonical_edges — rebuilt wholesale with it (reading the
+    // just-swapped table back, so the CC solve above is not re-executed)
+    io.overwrite(spark, "canonical_edge_entity_index",
+      Pipeline.entityIndexRows(io.read(spark, "canonical_edges")
+        .select("subj", "pred", "obj", "label", "sourceChunkId")),
+      Seq("ebucket"))
     // vertices keep their mention-level identity (name is the MERGE key);
     // only the canonicalName pointer is remapped — same broadcast/plain
     // join regime as the vertex build
@@ -464,7 +541,9 @@ final class Pipeline(
         col("vec"), col("tripletPart"), col("nbucket"))
     io.overwrite(spark, "vertices", refreshed, Seq("nbucket"))
     io.overwrite(spark, "canonical_map",
-      canonAll.toDF().filter(col("name") =!= col("canonicalName")))
+      Pipeline.canonicalMapLayout(
+        canonAll.toDF().filter(col("name") =!= col("canonicalName"))),
+      Seq("cbucket"))
   }
 
   /** Partition-selective compaction — the 10^12-scale form of [[compact]].
@@ -587,12 +666,58 @@ final class Pipeline(
         .join(newCC.select($"name", $"canonicalName"), Seq("name"), "left")
         .select($"name", coalesce($"canonicalName", $"name").as("canonicalName"))
         .as[CanonicalMapping]
+      // snapshot the OLD content of the partitions being rebuilt BEFORE
+      // the swap (the entity-index diff below needs it, and the swap
+      // replaces these dirs under any lazy scan); localCheckpoint also
+      // pins newContent, consumed by the write AND the diff
+      val oldRows = io.read(spark, "canonical_edges")
+        .filter($"pbucket".isin(buckets: _*)) // partition-pruned read
+        .select("subj", "pred", "obj", "label", "sourceChunkId")
+        .localCheckpoint()
       val newContent = Materialize
         .canonicalEdges(rebuildSource, canonForRebuild,
           salted = config.saltedCanonicalJoin)
         .toDF().withColumn("pbucket", pmod(hash($"pred"), lit(NumBuckets)))
+        .localCheckpoint()
       io.overwritePartitions(spark, "canonical_edges", newContent,
         "pbucket", buckets)
+      // canonical_edge_entity_index maintenance — the same diff, keyed by
+      // ENTITY instead of predicate: rows removed/added by the rebuild
+      // decide which ebuckets change, and only those partitions rewrite
+      // (existing rows of unaffected edges in them are carried over).
+      // Cost: O(rebuilt-bucket content + touched ebuckets), never a full
+      // index pass. Invariant: index == entityIndexRows(canonical_edges),
+      // asserted in CanonicalQuerySuite.
+      val newRows = newContent.select("subj", "pred", "obj", "label", "sourceChunkId")
+      val removed = oldRows.except(newRows)
+      val added = newRows.except(oldRows)
+      val changedIdx = Pipeline.entityIndexRows(removed.unionByName(added))
+      val ebuckets = changedIdx.select($"ebucket".as("b"))
+        .distinct().as[Int].collect().toSeq
+      if (ebuckets.nonEmpty) {
+        if (!io.exists(spark, "canonical_edge_entity_index")) {
+          // pre-upgrade store (round-4 engine wrote no canonical index):
+          // one-time wholesale backfill from the just-swapped table
+          io.overwrite(spark, "canonical_edge_entity_index",
+            Pipeline.entityIndexRows(io.read(spark, "canonical_edges")
+              .select("subj", "pred", "obj", "label", "sourceChunkId")),
+            Seq("ebucket"))
+        } else {
+          val removedK = Pipeline.entityIndexRows(removed)
+            .select("entity", "subj", "pred", "obj")
+          val addedRows = Pipeline.entityIndexRows(added)
+          val newIdx = io.read(spark, "canonical_edge_entity_index")
+            .filter($"ebucket".isin(ebuckets: _*)) // partition-pruned
+            .select("entity", "subj", "pred", "obj", "label",
+              "sourceChunkId", "ebucket")
+            .join(removedK.unionByName(
+                addedRows.select("entity", "subj", "pred", "obj")),
+              Seq("entity", "subj", "pred", "obj"), "left_anti")
+            .unionByName(addedRows)
+          io.overwritePartitions(spark, "canonical_edge_entity_index",
+            newIdx, "ebucket", ebuckets)
+        }
+      }
       // vertex pointer refresh: only partitions holding an affected name;
       // EVERY row in them gets its pointer regenerated from the new map
       // (idempotent for unaffected rows — their image is unchanged there)
@@ -608,6 +733,8 @@ final class Pipeline(
           $"vec", $"tripletPart", $"nbucket")
       io.overwritePartitions(spark, "vertices", refreshed, "nbucket", nbuckets)
     }
-    io.overwrite(spark, "canonical_map", newCC)
+    io.overwrite(spark, "canonical_map",
+      Pipeline.canonicalMapLayout(newCC.select($"name", $"canonicalName")),
+      Seq("cbucket"))
   }
 }

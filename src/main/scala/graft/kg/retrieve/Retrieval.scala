@@ -365,4 +365,61 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
       .select(resultCols: _*)
       .transform(capPerEntity(_, topK, entities.size))
   }
+
+  /** [[relationshipSearch]] with the reference's ALIAS semantics over the
+    * CANONICAL graph: each query entity's surface form is first mapped
+    * through the store's `canonical_map` (the CC output of similarity
+    * linking), and the lookup runs against the entity-bucketed layout of
+    * `canonical_edges` — so a query naming ANY alias of a merged entity
+    * finds the whole merged component's relationships, the reachability
+    * the reference's alias cross-product MERGEs give its per-entity
+    * lookup (`triplets.py:371-398`, `retrieval.py:265-314`). The returned
+    * `entity` column keeps the QUERY's surface form (what the user asked
+    * about); subj/obj are canonical names.
+    *
+    * Scale shape: the canonical-map probe collects ≤ |query entities|
+    * rows from a cbucket-partition-pruned scan of the non-identity map
+    * (a map written by a pre-layout engine passes through unpruned), and
+    * the edge lookup partition-prunes on the canonical entities' ebucket
+    * ids exactly like [[relationshipSearchIndexed]] — per-query I/O is
+    * bounded by |entities| bucket directories of each table, never a
+    * full scan of either. */
+  def relationshipSearchCanonical(canonEdgeIndex: DataFrame,
+      canonMap: DataFrame, query: String,
+      topK: Int = config.topK): DataFrame = {
+    val spark = canonEdgeIndex.sparkSession
+    import spark.implicits._
+    val entities = queryEntities(query)
+    val resultCols =
+      Seq($"subj", $"pred", $"obj", $"label", $"sourceChunkId", $"entity")
+    if (entities.isEmpty) return canonEdgeIndex.select(resultCols: _*).limit(0)
+    def bucketsOf(names: Seq[String]): Seq[Int] =
+      spark.createDataset(names).toDF("e")
+        .select(pmod(hash($"e"), lit(Pipeline.NumBuckets)).as("b"))
+        .collect().map(_.getInt(0)).distinct.toSeq
+    // surface form → canonical name (identity when unlinked); the isNull
+    // arm keeps rows a pre-cbucket engine version wrote
+    val mapPruned =
+      if (!canonMap.columns.contains("cbucket")) canonMap
+      else {
+        val bs = bucketsOf(entities)
+        canonMap.filter($"cbucket".isin(bs: _*) || $"cbucket".isNull)
+      }
+    val canonOf = mapPruned.filter($"name".isin(entities: _*))
+      .select("name", "canonicalName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val pairs = entities.map(e => (e, canonOf.getOrElse(e, e)))
+    val canonEnts = pairs.map(_._2).distinct
+    // tiny (surface, canonical) frame re-attaches the surface form the
+    // user queried by — two aliases of one component each get the full
+    // merged edge set under their own entity value
+    val surf = broadcast(spark.createDataset(pairs).toDF("qentity", "entity"))
+    canonEdgeIndex
+      .filter($"ebucket".isin(bucketsOf(canonEnts): _*) &&
+        $"entity".isin(canonEnts: _*))
+      .join(surf, Seq("entity"))
+      .select($"subj", $"pred", $"obj", $"label", $"sourceChunkId",
+        $"qentity".as("entity"))
+      .transform(capPerEntity(_, topK, entities.size))
+  }
 }

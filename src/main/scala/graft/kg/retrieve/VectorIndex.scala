@@ -99,6 +99,42 @@ object VectorIndex {
     Array.tabulate(NumPlanes)(i => if (row.isNullAt(i)) 0.0 else row.getDouble(i))
   }
 
+  /** Threshold-staleness policy (the medians are FROZEN at first build):
+    * a later batch from a SHIFTED embedding distribution lands
+    * lopsidedly against the frozen cuts, re-skewing bucket occupancy and
+    * silently eroding the index's row-pruning win. [[occupancySkew]]
+    * measures, in ONE partial-aggregable pass over a batch, each plane's
+    * positive-side fraction under the frozen thresholds — 0.5 per plane
+    * by construction for the distribution the medians were fit on.
+    * Ingest triggers the wholesale rebuild (fresh medians over the
+    * cumulative embeddings) when a statistically meaningful batch
+    * (≥ [[StaleMinRows]] rows — below that the probe is noise and the
+    * batch is appended as-is) exceeds [[StaleSkewBound]] on any plane.
+    * Sampling fluctuation at the minimum batch is ~1/√512 ≈ 0.04, an
+    * order of magnitude under the bound — rebuilds fire on genuine
+    * shifts, not noise. */
+  val StaleSkewBound = 0.2
+  val StaleMinRows = 512L
+
+  /** Max over planes of |positive-side fraction − 0.5| of `embeddings`
+    * under `thresholds`; None when the frame holds fewer than `minRows`
+    * rows (too noisy to act on) or the threshold geometry mismatches. */
+  def occupancySkew(embeddings: DataFrame, dim: Int,
+      thresholds: Array[Double], minRows: Long = StaleMinRows): Option[Double] = {
+    if (thresholds.length != NumPlanes) return None
+    val aggs = (0 until NumPlanes).map { pid =>
+      avg(when(dot_product(col("vec"), typedLit(planeWeights(pid, dim)))
+        > thresholds(pid), 1.0).otherwise(0.0)).as(s"f_$pid")
+    }
+    val row = embeddings
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"), aggs: _*)
+      .head()
+    if (row.getLong(0) < minRows) None
+    else Some((0 until NumPlanes)
+      .map(i => math.abs(row.getDouble(i + 1) - 0.5)).max)
+  }
+
   /** Sign-sketch bucket of `vCol` for hash table `table`: bit p set iff
     * dot(v, plane_{table·K+p}) > threshold_{table·K+p}. The plane weights
     * and thresholds are plan-time literals; the projection is the native

@@ -101,15 +101,22 @@ object Link {
     *  - new×old candidates: batch signatures equi-joined against the
     *    stored index on the band key — the batch side is broadcast
     *    (batch-bounded) unless `broadcastSmall = false`, so the stored
-    *    index is scanned map-only, never shuffled;
-    *  - new×new candidates: the plain [[lshAliases]] self-join over the
-    *    batch's own mentions;
-    *  - the band-bucket cap counts stored + batch members per bucket
-    *    (same deterministic degenerate-bucket drop as batch mode);
+    *    index is scanned map-only, never shuffled. The band index signs
+    *    EVERY mention ever processed (subjects, predicates AND objects),
+    *    so the old-side universe is the full cumulative mention set — a
+    *    prior-batch name that only ever appeared as a predicate links
+    *    exactly like batch mode would link it;
+    *  - new×new candidates: the batch's own signature self-join;
+    *  - the band-bucket cap counts stored + batch members per bucket on
+    *    BOTH legs — a bucket degenerate in the cumulative universe drops
+    *    its batch-internal pairs too, matching what one-shot linking
+    *    over the union would do;
     *  - Jaccard + exact-cosine re-score + top-`linkTopK` per probe run
-    *    on the union, identical to batch mode. Old-side vectors come
-    *    from `oldVecs` (the vertices table — an equi-join on candidate
-    *    names, map-only when the candidate side broadcasts).
+    *    on the union, identical to batch mode. Candidate vectors are a
+    *    pure function of the name (deterministic hash embedder), so they
+    *    are computed INLINE per candidate pair — the old side needs no
+    *    vertex/vector table I/O at all; per-batch linking reads the band
+    *    index and nothing else of the store.
     *
     * Accumulation semantics (documented drift from one-shot linking):
     * the per-probe top-K caps THIS BATCH's candidates; a name processed
@@ -117,22 +124,22 @@ object Link {
     * the cumulative table — the same accumulation the reference's
     * per-triplet top-10 MERGEs produce. */
   def lshAliasesIncremental(
-      newVecs: DataFrame, // (name, vec) — the batch's distinct mentions
+      newNames: DataFrame, // (name) — the batch's distinct mentions
       storedSigs: DataFrame, // (name, band, mh) — lsh_band_index
-      oldVecs: DataFrame, // (name, vec) — prior entity vectors
+      embedder: Embedder,
       threshold: Double,
       linkTopK: Int,
       jaccardDistanceCap: Double = 0.7,
       numBands: Int = 8,
       maxBucket: Int = 256,
       broadcastSmall: Boolean = true): Dataset[AliasPair] = {
-    val spark = newVecs.sparkSession
+    val spark = newNames.sparkSession
     import spark.implicits._
     def small(df: DataFrame): DataFrame =
       if (broadcastSmall) broadcast(df) else df
 
-    val newSigs = bandSignatures(newVecs.select($"name"), numBands)
-      .localCheckpoint() // consumed by the cap count AND the probe join
+    val newSigs = bandSignatures(newNames.select($"name"), numBands)
+      .localCheckpoint() // consumed by the cap count AND both legs
     // only the buckets the BATCH probes matter — restrict the stored
     // index to them first (map-only semi-join against the broadcast
     // batch keys), so the cap count and the candidate join both touch
@@ -149,38 +156,46 @@ object Link {
       .groupBy($"band", $"mh").agg(count(lit(1)).as("bsz"))
       .filter($"bsz" > maxBucket)
       .select($"band", $"mh") // degenerate buckets only — tiny
+      .localCheckpoint() // consumed by both legs' anti-joins
+    def dropBad(df: DataFrame, side: String): DataFrame =
+      df.join(small(badBuckets.as("k")),
+        col(s"$side.band") === col("k.band") && col(s"$side.mh") === col("k.mh"),
+        "left_anti")
     // new×old candidate names: probe the (pre-restricted) stored rows
     // with the batch's signatures — map-only when the batch side
     // broadcasts; degenerate buckets dropped whole, as in batch mode
-    val nxo = storedProbed.as("o")
+    val nxo = dropBad(storedProbed.as("o")
       .join(small(newSigs.as("n")),
         col("o.band") === col("n.band") && col("o.mh") === col("n.mh") &&
-          col("o.name") =!= col("n.name"))
-      .join(small(badBuckets.as("k")),
-        col("o.band") === col("k.band") && col("o.mh") === col("k.mh"), "left_anti")
+          col("o.name") =!= col("n.name")), "o")
       .select(least(col("o.name"), col("n.name")).as("a"),
         greatest(col("o.name"), col("n.name")).as("b"))
-      .dropDuplicates("a", "b")
-    // re-attach vectors and shingles for the exact re-score: names are
-    // pure keys, shingles recompute in-line, vectors come from the old
-    // entity table ∪ the batch (a re-ingested name resolves identically
-    // from either side — same deterministic embedding). oldVecs is the
-    // VERTEX table, so the inner join silently drops new×old candidates
-    // whose stored-index partner is a prior-batch predicate-only name.
-    // Intentional: incremental linking's old-side universe has always
-    // been the vertex table (the contract pre-dates the band index, which
-    // signs every mention so a name promoted to vertex later still
-    // probes); within-batch predicate pairs still link via the nxn leg
-    // below, exactly as batch mode links them
-    val vecLookup = oldVecs.select($"name", $"vec")
-      .unionByName(newVecs.select($"name", $"vec"))
-      .dropDuplicates("name")
-    def withSide(df: DataFrame, key: String, v: String, sh: String): DataFrame =
-      df.join(vecLookup.select($"name".as(key), $"vec".as(v)), Seq(key))
-        .withColumn("s0", concat(lit(""), lower(col(key)), lit("")))
+    // new×new candidates from the SAME signature set under the SAME
+    // union-counted cap: a bucket whose cumulative membership is
+    // degenerate must drop its batch-internal pairs too — counting only
+    // the batch's members (as delegating to batch-mode lshAliases over
+    // the batch alone would) diverges from one-shot linking over the
+    // union on exactly the adversarial buckets the cap exists for
+    val nxn = dropBad(newSigs.as("x")
+      .join(newSigs.as("y"),
+        col("x.band") === col("y.band") && col("x.mh") === col("y.mh") &&
+          col("x.name") < col("y.name")), "x")
+      .select(col("x.name").as("a"), col("y.name").as("b"))
+    val cand = nxo.unionByName(nxn).dropDuplicates("a", "b")
+    // vectors are a PURE function of the name — recompute inline for the
+    // O(candidates) pairs instead of joining any stored vector table
+    val emb = embedder
+    val withVecs = cand
+      .select($"a".as("_1"), $"b".as("_2")).as[(String, String)]
+      .mapPartitions { it =>
+        it.map { case (a, b) => (a, b, emb.embedPassage(a), emb.embedPassage(b)) }
+      }
+      .toDF("a", "b", "va", "vb")
+    def withShingles(df: DataFrame, key: String, sh: String): DataFrame =
+      df.withColumn("s0", concat(lit("\u0001"), lower(col(key)), lit("\u0002")))
         .withColumn(sh, shinglesExpr)
         .drop("s0")
-    val scored = withSide(withSide(nxo, "a", "va", "sha"), "b", "vb", "shb")
+    val scored = withShingles(withShingles(withVecs, "a", "sha"), "b", "shb")
       .withColumn("inter", size(array_intersect($"sha", $"shb")).cast("double"))
       .withColumn("jd",
         lit(1.0) - $"inter" /
@@ -189,15 +204,9 @@ object Link {
       .withColumn("score", graft.functions.VectorFunctions.dot_product($"va", $"vb"))
       .filter($"score" >= threshold)
       .select($"a", $"b", $"score")
-    // new×new pairs: plain batch-mode linking over the batch only
-    val nxn = lshAliases(newVecs, threshold, linkTopK,
-      jaccardDistanceCap, numBands, maxBucket).toDF()
-      .select($"a", $"b", $"score")
-    val all = scored.unionByName(nxn)
-      .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"), $"score")
-      .dropDuplicates("a", "b")
     // top-K per probe over this batch's candidates, both directions
-    val sym = all.unionByName(all.select($"b".as("a"), $"a".as("b"), $"score"))
+    val sym = scored.unionByName(
+      scored.select($"b".as("a"), $"a".as("b"), $"score"))
     val w = Window.partitionBy($"a").orderBy($"score".desc, $"b")
     sym.withColumn("rn", row_number().over(w))
       .filter($"rn" <= linkTopK)

@@ -46,7 +46,7 @@ class CompactionSuite extends AnyFunSuite {
     val base = GraftConfig(linkMode = "lsh", linkThreshold = 0.7)
     val delta = ingest(base) // fullCompaction = false (default)
     val full = ingest(base.copy(fullCompaction = true))
-    Seq("canonical_edges", "vertices", "canonical_map").foreach { t =>
+    Seq("canonical_edges", "canonical_edge_entity_index", "vertices", "canonical_map").foreach { t =>
       assert(state(delta, t) == state(full, t),
         s"table $t diverged between delta and full compaction")
       assert(state(delta, t).nonEmpty, s"table $t empty")
@@ -83,7 +83,7 @@ class CompactionSuite extends AnyFunSuite {
       saltedCanonicalJoin = true)
     val delta = ingest(cfg)
     val full = ingest(cfg.copy(fullCompaction = true))
-    Seq("canonical_edges", "vertices", "canonical_map").foreach { t =>
+    Seq("canonical_edges", "canonical_edge_entity_index", "vertices", "canonical_map").foreach { t =>
       assert(state(delta, t) == state(full, t), s"$t diverged (salted)")
       assert(state(delta, t).nonEmpty)
     }
@@ -106,7 +106,7 @@ class CompactionSuite extends AnyFunSuite {
     batches.tail.foreach(b =>
       new Pipeline(cfg).materialize(spark.createDataset(b), io))
     val full = ingest(cfg.copy(fullCompaction = true))
-    Seq("canonical_edges", "vertices", "canonical_map").foreach { t =>
+    Seq("canonical_edges", "canonical_edge_entity_index", "vertices", "canonical_map").foreach { t =>
       assert(state(io, t) == state(full, t),
         s"table $t diverged recovering from a mapless store")
     }
@@ -135,7 +135,7 @@ class CompactionSuite extends AnyFunSuite {
     new Pipeline(cfg).materialize(spark.createDataset(batches(2)), io)
     val full = ingest(GraftConfig(linkMode = "lsh", linkThreshold = 0.7,
       fullCompaction = true))
-    Seq("canonical_edges", "vertices", "canonical_map").foreach { t =>
+    Seq("canonical_edges", "canonical_edge_entity_index", "vertices", "canonical_map").foreach { t =>
       assert(state(io, t) == state(full, t), s"$t diverged after crash recovery")
     }
   }
@@ -317,6 +317,71 @@ class CompactionSuite extends AnyFunSuite {
       s"bi=${io.snapshotFp(spark, "lsh_band_index")}") == storeFp)
     new Pipeline(cfg).materialize(spark.createDataset(batches(2)), io)
     assert(s"v=${io.snapshotFp(spark, "vertices")}" != storeFp.get.split(";")(0))
+  }
+
+  test("bucket-selective MERGE rewrites only the delta's bucket dirs") {
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftbsel").toString
+    val io = new ParquetTableIO(root)
+    val base = (0 until 40).map(i => (s"k$i", s"v$i", i % 4)).toDF("k", "v", "pb")
+    io.merge(spark, "t", base, Seq("k"), Seq("pb"))
+    def files(b: Int): Set[(String, Long)] = {
+      val d = new java.io.File(s"$root/t/pb=$b")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val before = (0 until 4).map(files)
+    // delta touches bucket 1 only: one collided key (delta wins) + one new
+    val delta = Seq(("k1", "REPAIRED", 1), ("kx", "new", 1)).toDF("k", "v", "pb")
+    io.merge(spark, "t", delta, Seq("k"), Seq("pb"))
+    val t = io.read(spark, "t")
+    assert(t.count() == 41)
+    assert(t.filter(col("k") === "k1").select("v").head().getString(0) == "REPAIRED",
+      "delta-wins collision semantics lost on the bucket-selective path")
+    assert(t.filter(col("k") === "kx").count() == 1)
+    // untouched bucket dirs are PHYSICALLY untouched (same files, mtimes)
+    Seq(0, 2, 3).foreach { b =>
+      assert(files(b) == before(b), s"untouched bucket $b was rewritten")
+    }
+    assert(files(1) != before(1))
+    // an empty delta leaves storage untouched entirely
+    val fp = io.snapshotFp(spark, "t")
+    io.merge(spark, "t", base.limit(0), Seq("k"), Seq("pb"))
+    assert(io.snapshotFp(spark, "t") == fp, "empty delta perturbed storage")
+    // a schema-evolving delta (new column) falls back to the full
+    // rewrite and null-fills the old rows
+    val evolved = Seq(("k2", "v2", 2, 7L)).toDF("k", "v", "pb", "extra")
+    io.merge(spark, "t", evolved, Seq("k"), Seq("pb"))
+    val rows = io.read(spark, "t")
+    assert(rows.columns.contains("extra"))
+    assert(rows.filter(col("extra").isNull).count() == 40)
+  }
+
+  test("partitioned appendNew appends into bucket dirs without rewrites") {
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftpappend").toString
+    val io = new ParquetTableIO(root)
+    val base = (0 until 20).map(i => (s"k$i", i % 4)).toDF("k", "pb")
+    io.appendNew(spark, "t", base, Seq("k"), Seq("pb"))
+    assert(new java.io.File(s"$root/t/pb=2").exists(), "initial write not partitioned")
+    def allFiles(): Set[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$root/t"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.lastModified())).toSet
+    }
+    val before = allFiles()
+    // one duplicate key (kept, first-wins) + one new key in bucket 1
+    io.appendNew(spark, "t", Seq(("k1", 1), ("kz", 1)).toDF("k", "pb"),
+      Seq("k"), Seq("pb"))
+    val after = allFiles()
+    assert(before.subsetOf(after), "existing files rewritten by partitioned append")
+    assert(after.size == before.size + 1, "expected exactly one new file (bucket 1)")
+    assert(io.read(spark, "t").count() == 21)
+    // partition pruning still works over the appended layout
+    assert(io.read(spark, "t").filter(col("pb") === 1).count() == 6)
   }
 
   test("snapshotFp ignores files under leftover _temporary directories") {

@@ -15,8 +15,8 @@ class StreamingIngestSuite extends AnyFunSuite {
 
   private def tables = Seq("chunks", "chunk_embeddings", "chunk_vec_index",
     "chunk_vec_meta", "terms", "edges", "edge_entity_index",
-    "canonical_edges", "canonical_map", "vertices", "aliases",
-    "lsh_band_index")
+    "canonical_edges", "canonical_edge_entity_index", "canonical_map",
+    "vertices", "aliases", "lsh_band_index")
 
   private def tableState(io: ParquetTableIO): Map[String, Set[String]] =
     tables.map { t =>
