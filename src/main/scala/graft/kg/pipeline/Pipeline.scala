@@ -41,6 +41,17 @@ object Pipeline {
       .dropDuplicates("entity", "subj", "pred", "obj")
       .withColumn("ebucket", pmod(hash(col("entity")), lit(NumBuckets)))
 
+  /** [[entityIndexRows]] plus each row's SOURCE-edge primary-layout
+    * bucket (`pbucket = hash(pred)`) — the canonical index carries it so
+    * delta compaction can drop a rebuilt pbucket's index rows with a
+    * partition-pruned FILTER and re-derive them from the rebuilt content,
+    * instead of set-differencing the old vs new bucket content (two
+    * shuffles over O(bucket) rows per batch, measured dominant in the
+    * round-5 incremental series). */
+  def canonicalIndexRows(edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    entityIndexRows(edges)
+      .withColumn("pbucket", pmod(hash(col("pred")), lit(NumBuckets)))
+
   /** canonical_map rows under the name-hash-bucketed layout (`cbucket`):
     * the query side canonicalizes its few surface-form entities with a
     * partition-pruned probe instead of scanning the whole linked-name
@@ -431,7 +442,7 @@ final class Pipeline(
       // cross-product makes merged relationships reachable from ANY
       // alias surface form, triplets.py:371-398 / retrieval.py:265-314)
       io.merge(spark, "canonical_edge_entity_index",
-        Pipeline.entityIndexRows(r.canonicalEdges.toDF()),
+        Pipeline.canonicalIndexRows(r.canonicalEdges.toDF()),
         Seq("entity", "subj", "pred", "obj"), Seq("ebucket"))
     }
     io.merge(spark, "vertices", verticesPart, Seq("name"), Seq("nbucket"))
@@ -524,7 +535,7 @@ final class Pipeline(
     // state of canonical_edges — rebuilt wholesale with it (reading the
     // just-swapped table back, so the CC solve above is not re-executed)
     io.overwrite(spark, "canonical_edge_entity_index",
-      Pipeline.entityIndexRows(io.read(spark, "canonical_edges")
+      Pipeline.canonicalIndexRows(io.read(spark, "canonical_edges")
         .select("subj", "pred", "obj", "label", "sourceChunkId")),
       Seq("ebucket"))
     // vertices keep their mention-level identity (name is the MERGE key);
@@ -666,56 +677,60 @@ final class Pipeline(
         .join(newCC.select($"name", $"canonicalName"), Seq("name"), "left")
         .select($"name", coalesce($"canonicalName", $"name").as("canonicalName"))
         .as[CanonicalMapping]
-      // snapshot the OLD content of the partitions being rebuilt BEFORE
-      // the swap (the entity-index diff below needs it, and the swap
-      // replaces these dirs under any lazy scan); localCheckpoint also
-      // pins newContent, consumed by the write AND the diff
-      val oldRows = io.read(spark, "canonical_edges")
-        .filter($"pbucket".isin(buckets: _*)) // partition-pruned read
-        .select("subj", "pred", "obj", "label", "sourceChunkId")
-        .localCheckpoint()
+      // affected ebuckets, computed BEFORE the swap replaces the rebuilt
+      // dirs: every index row sourced from a rebuilt pbucket derives
+      // from an edge in those partitions' OLD content, so its ebucket is
+      // one of the old content's entity buckets; the rebuild's new rows
+      // land in newContent's entity buckets. Both are tiny map-side-
+      // combined aggregates (≤ NumBuckets values) — the old content is
+      // never materialized or diffed.
+      def ebucketsOf(df: DataFrame): Seq[Int] = df
+        .select(explode(array($"subj", $"obj")).as("e"))
+        .select(pmod(hash($"e"), lit(NumBuckets)).as("b"))
+        .distinct().as[Int].collect().toSeq
+      val oldEbuckets = ebucketsOf(io.read(spark, "canonical_edges")
+        .filter($"pbucket".isin(buckets: _*))) // partition-pruned read
       val newContent = Materialize
         .canonicalEdges(rebuildSource, canonForRebuild,
           salted = config.saltedCanonicalJoin)
         .toDF().withColumn("pbucket", pmod(hash($"pred"), lit(NumBuckets)))
-        .localCheckpoint()
+        .localCheckpoint() // pinned: consumed by the write AND the index
       io.overwritePartitions(spark, "canonical_edges", newContent,
         "pbucket", buckets)
-      // canonical_edge_entity_index maintenance — the same diff, keyed by
-      // ENTITY instead of predicate: rows removed/added by the rebuild
-      // decide which ebuckets change, and only those partitions rewrite
-      // (existing rows of unaffected edges in them are carried over).
-      // Cost: O(rebuilt-bucket content + touched ebuckets), never a full
-      // index pass. Invariant: index == entityIndexRows(canonical_edges),
-      // asserted in CanonicalQuerySuite.
-      val newRows = newContent.select("subj", "pred", "obj", "label", "sourceChunkId")
-      val removed = oldRows.except(newRows)
-      val added = newRows.except(oldRows)
-      val changedIdx = Pipeline.entityIndexRows(removed.unionByName(added))
-      val ebuckets = changedIdx.select($"ebucket".as("b"))
-        .distinct().as[Int].collect().toSeq
+      // canonical_edge_entity_index maintenance, DIFF-FREE: index rows
+      // carry their source edge's pbucket, so the rebuilt buckets' index
+      // rows drop by a partition-pruned FILTER, their replacements are
+      // re-derived from the pinned newContent, and only the affected
+      // ebuckets rewrite — no set-difference, no anti-join, no old-
+      // content checkpoint (the round-4 diff design cost two shuffles
+      // over O(bucket content) per batch, measured dominant in the
+      // incremental series). Invariant: index ==
+      // canonicalIndexRows(canonical_edges), asserted in
+      // CanonicalQuerySuite.
+      val ebuckets = (oldEbuckets ++ ebucketsOf(
+        newContent.select($"subj", $"obj"))).distinct
       if (ebuckets.nonEmpty) {
-        if (!io.exists(spark, "canonical_edge_entity_index")) {
-          // pre-upgrade store (round-4 engine wrote no canonical index):
-          // one-time wholesale backfill from the just-swapped table
+        val preUpgrade = !io.exists(spark, "canonical_edge_entity_index") ||
+          !io.read(spark, "canonical_edge_entity_index")
+            .columns.contains("pbucket")
+        if (preUpgrade) {
+          // store written before the index existed (round-4 engine) or
+          // before rows carried pbucket: one-time wholesale backfill
+          // from the just-swapped table
           io.overwrite(spark, "canonical_edge_entity_index",
-            Pipeline.entityIndexRows(io.read(spark, "canonical_edges")
+            Pipeline.canonicalIndexRows(io.read(spark, "canonical_edges")
               .select("subj", "pred", "obj", "label", "sourceChunkId")),
             Seq("ebucket"))
         } else {
-          val removedK = Pipeline.entityIndexRows(removed)
-            .select("entity", "subj", "pred", "obj")
-          val addedRows = Pipeline.entityIndexRows(added)
-          val newIdx = io.read(spark, "canonical_edge_entity_index")
+          val addedRows = Pipeline.canonicalIndexRows(
+            newContent.select("subj", "pred", "obj", "label", "sourceChunkId"))
+          val carried = io.read(spark, "canonical_edge_entity_index")
             .filter($"ebucket".isin(ebuckets: _*)) // partition-pruned
+            .filter(!$"pbucket".isin(buckets: _*)) // rebuilt sources drop
             .select("entity", "subj", "pred", "obj", "label",
-              "sourceChunkId", "ebucket")
-            .join(removedK.unionByName(
-                addedRows.select("entity", "subj", "pred", "obj")),
-              Seq("entity", "subj", "pred", "obj"), "left_anti")
-            .unionByName(addedRows)
+              "sourceChunkId", "ebucket", "pbucket")
           io.overwritePartitions(spark, "canonical_edge_entity_index",
-            newIdx, "ebucket", ebuckets)
+            carried.unionByName(addedRows), "ebucket", ebuckets)
         }
       }
       // vertex pointer refresh: only partitions holding an affected name;

@@ -30,15 +30,18 @@ class CanonicalQuerySuite extends AnyFunSuite {
   }
 
   private def indexInvariant(io: ParquetTableIO): Unit = {
-    val fromTable = Pipeline.entityIndexRows(
+    val cols = Seq("entity", "subj", "pred", "obj", "label",
+      "sourceChunkId", "ebucket", "pbucket")
+    val fromTable = Pipeline.canonicalIndexRows(
       io.read(spark, "canonical_edges")
         .select("subj", "pred", "obj", "label", "sourceChunkId"))
+      .select(cols.map(col): _*)
       .collect().map(_.toString).toSet
     val stored = io.read(spark, "canonical_edge_entity_index")
-      .select("entity", "subj", "pred", "obj", "label", "sourceChunkId", "ebucket")
+      .select(cols.map(col): _*)
       .collect().map(_.toString).toSet
     assert(stored == fromTable,
-      "canonical_edge_entity_index != entityIndexRows(canonical_edges)")
+      "canonical_edge_entity_index != canonicalIndexRows(canonical_edges)")
   }
 
   test("query by an alias surface form returns the merged component's edges") {
