@@ -52,6 +52,15 @@ trait GraphTableIO extends Serializable {
       keys: Seq[String], partitionCols: Seq[String] = Nil): Unit =
     merge(spark, table, delta, keys, partitionCols)
 
+  /** Row count of `table`'s current snapshot. Backends with countable
+    * metadata should answer WITHOUT a distributed job (production:
+    * Iceberg manifests carry `record_count` per data file, a pure
+    * metadata fold) — the per-batch ingest stats otherwise schedule one
+    * count job per table per batch. Default: a row-scan count (correct
+    * for any backend). */
+  def rowCount(spark: SparkSession, table: String): Long =
+    read(spark, table).count()
+
   /** Cheap identity of `table`'s CURRENT stored snapshot, for checkpoint
     * input fingerprints: any write to the table must change it, and
     * computing it must not scan table rows (production: the Iceberg
@@ -171,6 +180,139 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
   def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(path(table))
 
+  /** Recursive DATA-file listing via per-directory `listStatus`.
+    * Hadoop's `listFiles(recursive = true)` returns `LocatedFileStatus`
+    * — it resolves BLOCK LOCATIONS for every file, measured ~4.7 ms per
+    * file on the local FS (33.5 s for a 7k-file table tree, vs 0.5 s
+    * for this walk); no caller here needs locations. Hidden entries
+    * (`_`/`.` prefixes) are pruned at the DIRECTORY level, so staged
+    * `_temporary`/`__tmp*` trees are never even walked. */
+  private def walkDataFiles(hfs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.FileStatus]
+    val stack = scala.collection.mutable.Stack(base)
+    while (stack.nonEmpty) {
+      hfs.listStatus(stack.pop()).foreach { s =>
+        val n = s.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          if (s.isDirectory) stack.push(s.getPath) else out += s
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Metadata-only count: the Iceberg-manifest `record_count` analogue —
+    * parquet footers carry per-block row counts, summed here on a
+    * 16-thread pool over [[walkDataFiles]]'s listing (~1.2 ms/file
+    * measured). Replaces one Spark count() job per table per batch in
+    * the ingest stats: measured by graft.tools.StatsProbe on an 8-batch
+    * incremental store, 9.6 s vs 24.5 s across all 13 tables — BOTH
+    * dominated by the sliver-heavy vector index, which is why
+    * [[compactSlivers]] bounds files-per-dir; on a compacted store both
+    * are cheap and the footer pass still wins by skipping job
+    * scheduling. (A FIRST measurement showed footers LOSING 43 s to
+    * 5.6 s — that was `listFiles(recursive)`'s per-file block-location
+    * resolution, not footer cost; see [[walkDataFiles]]. Measure, then
+    * measure what you measured.) */
+  override def rowCount(spark: SparkSession, table: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = walkDataFiles(fs(spark),
+      new org.apache.hadoop.fs.Path(path(table)))
+      .filter(_.getLen > 0).map(_.getPath)
+    if (files.isEmpty) return 0L
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, files.size))
+    try files.map { p =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+          try r.getRecordCount finally r.close()
+        }
+      })
+    }.map(_.get()).sum
+    finally { pool.shutdown(); () }
+  }
+
+  /** Sliver-files-per-leaf-dir bound for the append-only tables
+    * (Iceberg `rewrite_data_files` trigger analogue): every
+    * [[appendNew]] lands one new file per touched partition dir, so a
+    * long batch series accumulates sliver files that tax every
+    * listing/planning consumer — measured: the 1,024-dir vector index
+    * reached ~6k data files by batch 6, inflating its stats count() to
+    * 5.6 s (graft.tools.StatsProbe). */
+  val SliverThreshold = 8
+
+  /** A data file at or above this size is a BASE file: it is never
+    * re-compacted. A first cut compacted whole over-threshold dirs and
+    * measured a 317 MB write spike at the threshold batch — it was
+    * rewriting the accumulated terms table (the store's biggest), an
+    * O(table) rewrite every `SliverThreshold` batches. Merging only
+    * sub-bound files keeps each compaction's write volume O(slivers)
+    * ≈ O(threshold · batch); merged outputs above the bound graduate to
+    * base files and are never rewritten again (file count then grows
+    * one BASE file per dir per ~threshold batches — a 16× slower growth
+    * than uncompacted appends; production binpacks to a target file
+    * size with tiered rewrites, Iceberg `rewrite_data_files`). */
+  val SliverMaxBytes: Long = 4L << 20
+
+  /** Compact partition dirs of `table` holding more than
+    * [[SliverThreshold]] sliver files (data files under
+    * [[SliverMaxBytes]]): the slivers — and only they — are read back
+    * (partition columns recovered via basePath), merged to one file per
+    * dir in a single staged job, moved in, and the originals deleted.
+    * Because appendNew adds one file to every touched dir per batch,
+    * the touched dirs cross the threshold TOGETHER — the job runs once
+    * every ~threshold batches. The delete→rename swap shares
+    * [[overwritePartitions]]'s documented non-atomic crash window
+    * (staged data survives on disk under `__tmpcompact`; production is
+    * an Iceberg rewrite commit). */
+  private def compactSlivers(spark: SparkSession, table: String,
+      partitionCols: Seq[String]): Unit = {
+    val hfs = fs(spark)
+    // fully-qualified base: listed paths are scheme-qualified, so
+    // relative paths must strip the QUALIFIED prefix or the staged-dir
+    // mapping below silently breaks
+    val qbase = hfs.makeQualified(
+      new org.apache.hadoop.fs.Path(path(table))).toString
+    val perDir = scala.collection.mutable.Map
+      .empty[String, List[org.apache.hadoop.fs.Path]]
+    walkDataFiles(hfs, new org.apache.hadoop.fs.Path(qbase)).foreach { s =>
+      if (s.getLen < SliverMaxBytes)
+        perDir.updateWith(s.getPath.getParent.toString)(
+          c => Some(s.getPath :: c.getOrElse(Nil))); ()
+    }
+    val over = perDir.toSeq.collect {
+      case (d, fs) if fs.length > SliverThreshold => d -> fs
+    }.sortBy(_._1)
+    if (over.isEmpty) return
+    val tmp = path(table) + "__tmpcompact"
+    val sliverFiles = over.flatMap(_._2).map(_.toString)
+    spark.read.option("basePath", qbase).parquet(sliverFiles: _*)
+      .repartition(partitionCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(tmp)
+    over.foreach { case (d, slivers) =>
+      val rel = d.stripPrefix(qbase)
+      val srcDir = new org.apache.hadoop.fs.Path(tmp + rel)
+      if (hfs.exists(srcDir)) {
+        // delete the merged slivers, then move the staged merge file(s)
+        // in under their fresh unique part names (base files untouched)
+        slivers.foreach(p => hfs.delete(p, false))
+        hfs.listStatus(srcDir).foreach { s =>
+          if (!s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith("."))
+            hfs.rename(s.getPath,
+              new org.apache.hadoop.fs.Path(d, s.getPath.getName)); ()
+        }
+      }
+    }
+    hfs.delete(new org.apache.hadoop.fs.Path(tmp), true); ()
+  }
+
   /** File-manifest fingerprint — the parquet analogue of an Iceberg
     * snapshot id: CRC over the sorted (relative path, length) listing.
     * Sound as a snapshot identity because every write path here creates
@@ -181,20 +323,15 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
     if (!exists(spark, table)) return "absent"
     val hfs = fs(spark)
     val base = new org.apache.hadoop.fs.Path(path(table))
-    val it = hfs.listFiles(base, true)
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val s = it.next()
-      val rel = s.getPath.toString.stripPrefix(base.toString)
-      // hidden-ness applies to EVERY path component under the table root,
-      // not just the leaf: part files staged under a leftover _temporary
-      // dir (crashed/killed append job) are not table data, and folding
-      // them in would make the same logical snapshot fingerprint
-      // differently before and after cleanup (spurious checkpoint miss)
-      val hidden = rel.split('/')
-        .exists(c => c.startsWith("_") || c.startsWith("."))
-      if (!hidden) entries += s"$rel:${s.getLen}"
-    }
+    // hidden-ness applies to EVERY path component under the table root,
+    // not just the leaf: part files staged under a leftover _temporary
+    // dir (crashed/killed append job) are not table data, and folding
+    // them in would make the same logical snapshot fingerprint
+    // differently before and after cleanup (spurious checkpoint miss).
+    // walkDataFiles prunes hidden DIRECTORIES without descending.
+    val qbase = hfs.makeQualified(base).toString
+    val entries = walkDataFiles(hfs, base)
+      .map(s => s"${s.getPath.toString.stripPrefix(qbase)}:${s.getLen}")
     val crc = new java.util.zip.CRC32()
     entries.sorted.foreach(e => crc.update(e.getBytes("UTF-8")))
     s"${entries.size}:${crc.getValue}"
@@ -322,6 +459,15 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
               .write.partitionBy(partitionCols: _*)
           else newRows.write
         out.mode(SaveMode.Append).parquet(path(table))
+        // keep the layout listing-healthy: partitioned appends grow one
+        // file per touched dir per batch; dirs over the sliver
+        // threshold get their SUB-BOUND files merged, base files
+        // untouched (see compactSlivers). Flat append tables grow
+        // O(shuffle-partitions) files per batch instead and are left to
+        // an external compaction pass (production: a scheduled Iceberg
+        // rewrite_data_files service) — at sandbox batch horizons their
+        // file counts stay modest.
+        if (partitionCols.nonEmpty) compactSlivers(spark, table, partitionCols)
       }
     } finally { newRows.unpersist(blocking = false); () }
   }

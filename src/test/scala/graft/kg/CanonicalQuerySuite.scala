@@ -131,4 +131,27 @@ class CanonicalQuerySuite extends AnyFunSuite {
       .map(_.getAs[String]("pred")).toSet
     assert(preds == Set("imports module", "calls function"))
   }
+
+  test("index without pbucket (pre-column store): backfilled wholesale") {
+    val s = spark; import s.implicits._
+    val cfg = GraftConfig(linkMode = "lsh", linkThreshold = 0.7)
+    val io = new ParquetTableIO(
+      java.nio.file.Files.createTempDirectory("graftcanonpb").toString)
+    new Pipeline(cfg).materialize(spark.createDataset(batches(0)), io)
+    // simulate a store written before index rows carried the source-edge
+    // pbucket: delta maintenance cannot locate a rebuilt bucket's rows
+    // in it, so the next batch must rebuild the index wholesale
+    io.overwrite(spark, "canonical_edge_entity_index",
+      io.read(spark, "canonical_edge_entity_index").drop("pbucket"),
+      Seq("ebucket"))
+    assert(!io.read(spark, "canonical_edge_entity_index")
+      .columns.contains("pbucket"))
+    new Pipeline(cfg).materialize(spark.createDataset(batches(1)), io)
+    indexInvariant(io) // backfilled, pbucket present and correct
+    val rag = new GraphRag(spark, io, cfg)
+    val preds = rag.query("What is Batchengine?").triplets.get.collect()
+      .filter(_.getAs[String]("entity") == "batchengine")
+      .map(_.getAs[String]("pred")).toSet
+    assert(preds == Set("imports module", "calls function"))
+  }
 }

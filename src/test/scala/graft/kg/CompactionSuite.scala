@@ -384,6 +384,75 @@ class CompactionSuite extends AnyFunSuite {
     assert(io.read(spark, "t").filter(col("pb") === 1).count() == 6)
   }
 
+  test("appendNew compacts sliver files past the per-dir threshold") {
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftsliver").toString
+    val io = new ParquetTableIO(root)
+    val thr = io.SliverThreshold
+    // one append per "batch", disjoint keys, every batch touching both
+    // bucket dirs — the accumulation shape of the append-only vector
+    // index (one sliver per dir per batch, measured at ~6k files by
+    // batch 6 at 1,024 dirs before compaction existed)
+    val batches = thr + 4
+    (0 until batches).foreach { i =>
+      io.appendNew(spark, "t",
+        Seq((s"k$i-0", 0), (s"k$i-1", 1)).toDF("k", "pb"),
+        Seq("k"), Seq("pb"))
+    }
+    // layout health: no dir holds more than the threshold's data files
+    Seq(0, 1).foreach { b =>
+      val n = new java.io.File(s"$root/t/pb=$b").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(n <= thr, s"pb=$b holds $n files (> $thr) after compaction")
+      assert(n < batches, s"pb=$b never compacted ($n files)")
+    }
+    // content intact: every key present once, partition values recovered
+    val rows = io.read(spark, "t").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rows.size == 2 * batches)
+    assert((0 until batches).forall(i =>
+      rows(s"k$i-0") == 0 && rows(s"k$i-1") == 1))
+    // partition pruning still works over the compacted layout
+    assert(io.read(spark, "t").filter(col("pb") === 1).count() == batches)
+  }
+
+  test("sliver compaction never rewrites base files over the size bound") {
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftbase").toString
+    val io = new ParquetTableIO(root)
+    // batch 0: a BASE file above SliverMaxBytes in bucket 0 (random
+    // binary payloads defeat parquet compression)
+    val rnd = new scala.util.Random(7)
+    val bigRows = (0 until 40000).map { i =>
+      val b = new Array[Byte](128); rnd.nextBytes(b); (s"base$i", b, 0)
+    }
+    io.appendNew(spark, "t",
+      bigRows.toDF("k", "payload", "pb"), Seq("k"), Seq("pb"))
+    val baseFiles = new java.io.File(s"$root/t/pb=0").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(baseFiles.exists(_.length >= io.SliverMaxBytes),
+      s"fixture too small: ${baseFiles.map(_.length).toSeq} — raise rows")
+    val baseSnapshot = baseFiles.filter(_.length >= io.SliverMaxBytes)
+      .map(f => (f.getName, f.lastModified(), f.length())).toSet
+    // enough tiny appends into the same dir to cross the threshold
+    (0 until io.SliverThreshold + 2).foreach { i =>
+      io.appendNew(spark, "t",
+        Seq((s"s$i", "tiny", 0)).toDF("k", "payload", "pb"),
+        Seq("k"), Seq("pb"))
+    }
+    val after = new java.io.File(s"$root/t/pb=0").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    // the base file is byte-identical in place; slivers were merged
+    val afterSnapshot = after.filter(_.length() >= io.SliverMaxBytes)
+      .map(f => (f.getName, f.lastModified(), f.length())).toSet
+    assert(baseSnapshot.subsetOf(afterSnapshot),
+      "a base file over the size bound was rewritten by sliver compaction")
+    assert(after.length < 1 + io.SliverThreshold + 2,
+      s"slivers never merged: ${after.length} files")
+    // all rows survive: the big batch plus every tiny append
+    assert(io.read(spark, "t").count() == 40000 + io.SliverThreshold + 2)
+  }
+
   test("snapshotFp ignores files under leftover _temporary directories") {
     val s = spark; import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("grafttmpfp").toString
