@@ -503,7 +503,20 @@ final class Pipeline(
       // metadata-only counts (parquet footer sums — the Iceberg manifest
       // record_count analogue): no per-table count() job per batch.
       // Measured 2.5× cheaper across the store by graft.tools.StatsProbe
-      .map(t => t -> io.rowCount(spark, t)).toMap
+      .map {
+        // the vector index is 1,024 leaf dirs bounded at ~SliverThreshold
+        // files each, so even the footer pass pays ~8k metadata reads
+        // (~19 s measured — the largest per-batch stats term). Its
+        // cardinality is an exact invariant instead: VectorIndex.layout
+        // emits one row per (table, embedded chunk) under any installed
+        // geometry, and both write paths key on (chunkId, l) — so
+        // |index| == NumTables × |chunk_embeddings|, the stat an Iceberg
+        // manifest would hand over for free.
+        case t @ "chunk_vec_index" =>
+          t -> graft.kg.retrieve.VectorIndex.NumTables *
+            io.rowCount(spark, "chunk_embeddings")
+        case t => t -> io.rowCount(spark, t)
+      }.toMap
     // fold in the observed in-flight stage counters (Metrics piggyback on
     // the actions above — no extra job)
     tableCounts ++ Metrics.snapshot.map { case (k, v) => s"observed_$k" -> v }
