@@ -130,11 +130,8 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
         // once, restoring availability without the manual delete. A live
         // pid, the current pid (re-entrant attempt), or an unreadable /
         // pid-less lease still fails fast — the fail-safe direction.
-        // (Read→delete→create is not atomic across processes: a waiter
-        // could delete a lease granted between its read and delete. The
-        // window is microseconds against a crash-recovery path that is
-        // rare by construction; production is Iceberg optimistic commit,
-        // which needs no lock at all.)
+        // (Production is Iceberg optimistic commit, which needs no lock
+        // at all.)
         val stale = try {
           "pid=(\\d+)".r.findFirstMatchIn(
               java.nio.file.Files.readString(f0.toPath)) match {
@@ -148,7 +145,20 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
             case None => false
           }
         } catch { case _: Exception => false }
-        if (!(stale && { f0.delete(); f0.createNewFile() })) fail()
+        // reclaim by ATOMIC RENAME of the stale lease to a waiter-unique
+        // tombstone: two waiters observing the same crashed lease race on
+        // rename(2) of one source path — exactly one succeeds, so exactly
+        // one proceeds to re-acquire (read→delete→create would let both
+        // delete/create and both believe they hold the lock). The loser's
+        // createNewFile then fails against the winner's fresh lease. The
+        // winner's tombstone is deleted after (a crash leaving it behind
+        // is inert — nothing ever reads `_writer.lock.reclaimed.*`).
+        val reclaimed = stale && {
+          val tomb = new java.io.File(f0.getParentFile,
+            s"_writer.lock.reclaimed.${ProcessHandle.current().pid()}")
+          f0.renameTo(tomb) && { tomb.delete(); f0.createNewFile() }
+        }
+        if (!reclaimed) fail()
       }
       try java.nio.file.Files.writeString(f0.toPath,
         s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}\n")
@@ -160,8 +170,62 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
         s"ts=${System.currentTimeMillis()}\n")
       finally out.close()
     }
+    // holding the lease: heal any compaction a previous writer crashed
+    // mid-swap (its redo plan survives under <table>__tmpcompact/_plan)
+    reconcileCompactions(hfs)
     try f finally { hfs.delete(lock, false); () }
   }
+
+  /** Replay the redo plans of compactions that crashed mid-swap: a
+    * [[compactSlivers]] run commits its (mv staged→live, rm sliver) op
+    * list to `<table>__tmpcompact/_plan` BEFORE touching the live table,
+    * so a crash at any later point leaves a replayable log. Each op is
+    * idempotent (mv skips when the source is already gone, rm when the
+    * target is), so replaying a partially-executed plan converges to the
+    * committed end state — no window loses rows (the staged copy exists
+    * from commit until its mv) and the transient duplicate window
+    * (staged file moved in, slivers not yet deleted) closes here. A tmp
+    * dir WITHOUT a plan file never touched the live table — dropped
+    * whole. Called under the writer lease only (a concurrent reader must
+    * not race the healing writer). */
+  private def reconcileCompactions(hfs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    if (!hfs.exists(rootP)) return
+    hfs.listStatus(rootP).foreach { s =>
+      if (s.isDirectory && s.getPath.getName.endsWith("__tmpcompact")) {
+        val plan = new org.apache.hadoop.fs.Path(s.getPath, "_plan")
+        if (hfs.exists(plan)) executePlan(hfs, readPlan(hfs, plan))
+        hfs.delete(s.getPath, true)
+      }
+    }
+  }
+
+  private def readPlan(hfs: org.apache.hadoop.fs.FileSystem,
+      plan: org.apache.hadoop.fs.Path): Seq[(String, String, String)] = {
+    val in = hfs.open(plan)
+    val text = try new String(in.readAllBytes(), "UTF-8")
+    finally in.close()
+    text.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+      line.split('\t') match {
+        case Array(op, a, b) => (op, a, b)
+        case Array(op, a) => (op, a, "")
+        case _ => ("", "", "")
+      }
+    }.filter(_._1.nonEmpty)
+  }
+
+  /** Execute/replay a compaction redo plan. Idempotent per op: an `mv`
+    * whose source is gone already ran (its rename is atomic — the file is
+    * at the destination); an `rm` whose target is gone already ran. */
+  private def executePlan(hfs: org.apache.hadoop.fs.FileSystem,
+      ops: Seq[(String, String, String)]): Unit =
+    ops.foreach {
+      case ("mv", src, dst) =>
+        val sp = new org.apache.hadoop.fs.Path(src)
+        if (hfs.exists(sp)) { hfs.rename(sp, new org.apache.hadoop.fs.Path(dst)); () }
+      case ("rm", p, _) => hfs.delete(new org.apache.hadoop.fs.Path(p), false); ()
+      case _ => ()
+    }
 
   private def flagPath(name: String) =
     new org.apache.hadoop.fs.Path(root, s"_flag_$name")
@@ -259,17 +323,30 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
     * size with tiered rewrites, Iceberg `rewrite_data_files`). */
   val SliverMaxBytes: Long = 4L << 20
 
-  /** Compact partition dirs of `table` holding more than
-    * [[SliverThreshold]] sliver files (data files under
-    * [[SliverMaxBytes]]): the slivers — and only they — are read back
-    * (partition columns recovered via basePath), merged to one file per
-    * dir in a single staged job, moved in, and the originals deleted.
-    * Because appendNew adds one file to every touched dir per batch,
-    * the touched dirs cross the threshold TOGETHER — the job runs once
-    * every ~threshold batches. The delete→rename swap shares
-    * [[overwritePartitions]]'s documented non-atomic crash window
-    * (staged data survives on disk under `__tmpcompact`; production is
-    * an Iceberg rewrite commit). */
+  /** Compact dirs of `table` holding more than [[SliverThreshold]]
+    * sliver files (data files under [[SliverMaxBytes]]): the slivers —
+    * and only they — are read back (partition columns recovered via
+    * basePath), merged to one file per dir in a single staged job, moved
+    * in, and the originals deleted. Because appendNew adds one file to
+    * every touched dir per batch, a partitioned table's touched dirs
+    * cross the threshold together — the job runs once every ~threshold
+    * batches. FLAT tables (empty `partitionCols` — chunks,
+    * chunk_embeddings) compact too, with the table root as the one
+    * "dir": their appends land one file per shuffle task per batch, so
+    * without this every listing consumer would crawl O(batches ·
+    * shuffle-partitions) files at long batch horizons.
+    *
+    * Crash safety (write-ahead redo plan): the staged merge is written
+    * FIRST, then the full (mv staged→live, rm sliver) op list commits to
+    * `<tmp>/_plan` via create+rename, and only then does any op touch
+    * the live table. A crash before the plan commit leaves the table
+    * untouched (the orphan tmp dir is dropped at the next writer-lock
+    * acquisition); a crash after it is healed by replaying the plan
+    * ([[reconcileCompactions]]) — idempotent ops, so no point of the
+    * timeline loses rows. The transient state between a file's mv and
+    * its slivers' rm duplicates those rows; it is only observable by a
+    * reader listing files mid-write, the same single-writer caveat every
+    * swap here carries (production: an Iceberg rewrite commit). */
   private def compactSlivers(spark: SparkSession, table: String,
       partitionCols: Seq[String]): Unit = {
     val hfs = fs(spark)
@@ -291,25 +368,39 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
     if (over.isEmpty) return
     val tmp = path(table) + "__tmpcompact"
     val sliverFiles = over.flatMap(_._2).map(_.toString)
-    spark.read.option("basePath", qbase).parquet(sliverFiles: _*)
-      .repartition(partitionCols.map(col): _*)
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy(partitionCols: _*).parquet(tmp)
-    over.foreach { case (d, slivers) =>
+    val src = spark.read.option("basePath", qbase).parquet(sliverFiles: _*)
+    // flat tables merge to ONE file (the whole point); partitioned ones
+    // cluster per dir as writeSwap does
+    val clustered =
+      if (partitionCols.nonEmpty) src.repartition(partitionCols.map(col): _*)
+      else src.coalesce(1)
+    val writer = clustered.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(tmp)
+    // redo plan: every mv/rm the swap will perform, committed durably
+    // BEFORE the first live-table mutation
+    val ops: Seq[(String, String, String)] = over.flatMap { case (d, slivers) =>
       val rel = d.stripPrefix(qbase)
       val srcDir = new org.apache.hadoop.fs.Path(tmp + rel)
-      if (hfs.exists(srcDir)) {
-        // delete the merged slivers, then move the staged merge file(s)
-        // in under their fresh unique part names (base files untouched)
-        slivers.foreach(p => hfs.delete(p, false))
-        hfs.listStatus(srcDir).foreach { s =>
-          if (!s.getPath.getName.startsWith("_") &&
+      val mvs =
+        if (hfs.exists(srcDir))
+          hfs.listStatus(srcDir).toSeq
+            .filter(s => !s.getPath.getName.startsWith("_") &&
               !s.getPath.getName.startsWith("."))
-            hfs.rename(s.getPath,
-              new org.apache.hadoop.fs.Path(d, s.getPath.getName)); ()
-        }
-      }
+            .map(s => ("mv", s.getPath.toString,
+              new org.apache.hadoop.fs.Path(d, s.getPath.getName).toString))
+        else Nil
+      mvs ++ slivers.map(p => ("rm", p.toString, ""))
     }
+    val planStaged = new org.apache.hadoop.fs.Path(tmp, "_plan.staged")
+    val out = hfs.create(planStaged, true)
+    try out.write(ops.map {
+      case (op, a, "") => s"$op\t$a"
+      case (op, a, b) => s"$op\t$a\t$b"
+    }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    hfs.rename(planStaged, new org.apache.hadoop.fs.Path(tmp, "_plan"))
+    executePlan(hfs, ops)
     hfs.delete(new org.apache.hadoop.fs.Path(tmp), true); ()
   }
 
@@ -337,27 +428,37 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
     s"${entries.size}:${crc.getValue}"
   }
 
-  /** True iff `table`'s first-level physical layout is exactly the
-    * `partitionCols`-partitioned Hive dir tree (no loose data files at
-    * the root, no null/default partition) — metadata-only listing, no
-    * rows read. Empty `partitionCols` requires the opposite: a flat
-    * table with no partition dirs. Gate for the physical fast paths:
-    * a layout written by a different engine version falls back to the
-    * full-rewrite MERGE, which re-lays the table under the current
+  /** True iff `table`'s physical layout is exactly the
+    * `partitionCols`-partitioned Hive dir tree at EVERY level — each
+    * depth-i directory is `partitionCols(i)=<value>` (no null/default
+    * partition), data files appear only at the leaf depth — via a
+    * metadata-only listing, no rows read. Empty `partitionCols` requires
+    * the opposite: a flat table with no partition dirs. Validating every
+    * level (not just the first) matters because a table partitioned by a
+    * PREFIX of the expected columns (e.g. `l` alone vs (`l`, `vbucket`))
+    * would otherwise pass the guard and the physical append would mix
+    * two directory nestings in one table. Gate for the physical fast
+    * paths: a layout written by a different engine version falls back to
+    * the full-rewrite MERGE, which re-lays the table under the current
     * layout (and null-fills evolved columns). */
   private def layoutMatches(spark: SparkSession, table: String,
       partitionCols: Seq[String]): Boolean = {
-    val st = fs(spark).listStatus(new org.apache.hadoop.fs.Path(path(table)))
-    val dirs = st.filter(_.isDirectory).map(_.getPath.getName)
-      .filterNot(n => n.startsWith("_") || n.startsWith("."))
-    val looseData = st.filter(_.isFile).map(_.getPath.getName)
-      .exists(n => !n.startsWith("_") && !n.startsWith("."))
-    if (partitionCols.isEmpty) dirs.isEmpty
-    else {
-      val prefix = s"${partitionCols.head}="
-      !looseData && dirs.nonEmpty && dirs.forall(d =>
-        d.startsWith(prefix) && d != prefix + "__HIVE_DEFAULT_PARTITION__")
+    val hfs = fs(spark)
+    def ok(p: org.apache.hadoop.fs.Path, depth: Int): Boolean = {
+      val st = hfs.listStatus(p).filterNot(s =>
+        s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
+      val (dirs, files) = st.partition(_.isDirectory)
+      if (depth == partitionCols.length) dirs.isEmpty // leaf: data files only
+      else {
+        val prefix = s"${partitionCols(depth)}="
+        files.isEmpty && dirs.nonEmpty && dirs.forall { d =>
+          val n = d.getPath.getName
+          n.startsWith(prefix) && n != prefix + "__HIVE_DEFAULT_PARTITION__" &&
+            ok(d.getPath, depth + 1)
+        }
+      }
     }
+    ok(new org.apache.hadoop.fs.Path(path(table)), 0)
   }
 
   def merge(spark: SparkSession, table: String, delta: DataFrame,
@@ -460,14 +561,14 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
           else newRows.write
         out.mode(SaveMode.Append).parquet(path(table))
         // keep the layout listing-healthy: partitioned appends grow one
-        // file per touched dir per batch; dirs over the sliver
-        // threshold get their SUB-BOUND files merged, base files
-        // untouched (see compactSlivers). Flat append tables grow
-        // O(shuffle-partitions) files per batch instead and are left to
-        // an external compaction pass (production: a scheduled Iceberg
-        // rewrite_data_files service) — at sandbox batch horizons their
-        // file counts stay modest.
-        if (partitionCols.nonEmpty) compactSlivers(spark, table, partitionCols)
+        // file per touched dir per batch, flat appends one per shuffle
+        // task per batch; dirs over the sliver threshold get their
+        // SUB-BOUND files merged, base files untouched (see
+        // compactSlivers) — so file counts stay bounded over long batch
+        // horizons instead of growing until every listing consumer
+        // (query planning, snapshotFp, footer stats) crawls thousands
+        // of files (production: Iceberg rewrite_data_files).
+        compactSlivers(spark, table, partitionCols)
       }
     } finally { newRows.unpersist(blocking = false); () }
   }

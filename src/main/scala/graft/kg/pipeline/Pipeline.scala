@@ -160,7 +160,7 @@ final class Pipeline(
       case None => mentionVecs
     }
 
-    val aliases: Dataset[AliasPair] = config.linkMode match {
+    val aliasesLazy: Dataset[AliasPair] = config.linkMode match {
       case "lsh" =>
         // the aliases stage ALSO depends on the prior graph state in
         // incremental mode — fold a vertices-snapshot marker into its
@@ -201,6 +201,20 @@ final class Pipeline(
         }.as[AliasPair]
       case _ => Link.exactAliases(spark) // stock reference behavior
     }
+    // the LEGACY link path (incremental store predating the band index)
+    // scans the LIVE vertices file listing lazily, and the later
+    // bucket-selective vertices merge DELETES those listed files; a
+    // persist is not durable enough (block loss → silent recompute over
+    // the stale listing → FileNotFoundException mid-materialize). Cut
+    // the lineage eagerly before any table swap. Checkpoint-enabled runs
+    // already re-read the stage's own parquet (no live dependency);
+    // the band-index path reads only append-only tables (listings stay
+    // valid by construction) — neither needs this.
+    val aliases: Dataset[AliasPair] =
+      if (existingVertices.isDefined && existingBandIndex.isEmpty &&
+          config.checkpointDir.isEmpty)
+        aliasesLazy.localCheckpoint(true)
+      else aliasesLazy
 
     // when the user signals the mention vocabulary outgrows broadcast
     // (saltedCanonicalJoin), the CC map joins without a broadcast hint too
@@ -245,24 +259,30 @@ final class Pipeline(
     // began but never completed forces one full canonical rebuild now
     val priorIncomplete = io.flagSet(spark, "batch_inflight")
     io.setFlag(spark, "batch_inflight")
-    // incremental gating + legacy-path link universe. NO snapshot (and
-    // no localCheckpoint materialization) of the vertex table is taken:
-    // the incremental path never reads vertex rows — linking probes the
-    // stored band index and embeds candidates inline — so per-batch
-    // vertices I/O is zero, not O(store). The legacy full-join path
-    // (store predating the band index) does scan this frame lazily, and
-    // its result is invariant to whether the scan lands before or after
-    // this batch's vertices swap: the swap only ADDS the batch's own
-    // names, which the union universe already contains with identical
-    // deterministic vectors.
+    // incremental gating + legacy-path link universe. NO snapshot of
+    // the vertex table is taken on the band-index path: it never reads
+    // vertex rows — linking probes the stored band index and embeds
+    // candidates inline — so per-batch vertices I/O is zero, not
+    // O(store). The legacy full-join path (store predating the band
+    // index) DOES scan this frame; run() eagerly cuts its lineage
+    // (aliases localCheckpoint) before any table swap, because the
+    // bucket-selective vertices merge deletes the files this listing
+    // names — a lazy recompute after the swap would FileNotFound.
     val existing =
       if (config.linkMode == "lsh" && io.exists(spark, "vertices"))
         Some(io.read(spark, "vertices"))
       else None
     // no snapshot needed: the index is append-only (appendNew) — a
-    // DataFrame opened here lists the pre-batch files and stays valid
+    // DataFrame opened here lists the pre-batch files and stays valid.
+    // Shingle-convention versioning: an index signed under a pre-v2
+    // convention (no `band_index_v2` flag) must NOT be probed with v2
+    // batch signatures — the md5 band minhashes differ for every name,
+    // so every probe would miss. Treat it as absent this batch (one
+    // legacy full-universe link) and rebuild it wholesale below.
+    val bandIndexStored = io.exists(spark, "lsh_band_index")
+    val bandIndexPreV2 = bandIndexStored && !io.flagSet(spark, "band_index_v2")
     val bandIndex =
-      if (existing.isDefined && io.exists(spark, "lsh_band_index"))
+      if (existing.isDefined && bandIndexStored && !bandIndexPreV2)
         Some(io.read(spark, "lsh_band_index"))
       else None
     // prior-state identity for the resume fingerprint, from storage
@@ -468,7 +488,15 @@ final class Pipeline(
           batchSigs.unionByName(graft.kg.stages.Link
             .bandSignatures(io.read(spark, "vertices").select(col("name"))))
         else batchSigs
-      io.appendNew(spark, "lsh_band_index", sigs, Seq("name", "band"))
+      // a pre-v2 index must be REPLACED, not appended into: its rows
+      // share (name, band) keys with the v2 signatures but carry
+      // old-convention minhashes, and appendNew's first-wins semantics
+      // would keep exactly the wrong rows (one-time migration rewrite)
+      if (bandIndexPreV2)
+        io.overwrite(spark, "lsh_band_index",
+          sigs.dropDuplicates("name", "band"))
+      else io.appendNew(spark, "lsh_band_index", sigs, Seq("name", "band"))
+      io.setFlag(spark, "band_index_v2") // convention stamp (idempotent)
     }
     if (freshFastPath) {
       // the canonical-map table (CC output: LINKED names only, name →

@@ -77,6 +77,17 @@ object Link {
          ELSE array_distinct(transform(sequence(0, length(s0) - 3),
                                        i -> substring(s0, i + 1, 3))) END""")
 
+  /** THE shingle pre-image: every signature/Jaccard consumer — batch
+    * lshAliases, the stored band index, the incremental re-score — MUST
+    * wrap names identically, or blocking diverges between modes for
+    * short/boundary names (begin/end sentinels weight a name's edges
+    * into distinct shingles). Single definition = parity by
+    * construction; the stored index carries the `band_index_v2` flag so
+    * a store signed under an older convention is rebuilt wholesale, not
+    * probed across conventions. */
+  private[kg] def sentinelWrapped(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("\u0001"), lower(c), lit("\u0002"))
+
   /** Band signatures of a set of names: one row per (name, band) with
     * the deterministic band minhash — the rows of the STORED
     * `lsh_band_index` table. A pure function of the name, so the index
@@ -85,7 +96,7 @@ object Link {
   def bandSignatures(names: DataFrame, // (name)
       numBands: Int = 8): DataFrame =
     names.select(col("name"))
-      .withColumn("s0", concat(lit(""), lower(col("name")), lit("")))
+      .withColumn("s0", sentinelWrapped(col("name")))
       .withColumn("sh", shinglesExpr)
       .select(col("name"), col("sh"),
         explode(sequence(lit(0), lit(numBands - 1))).as("band"))
@@ -192,7 +203,7 @@ object Link {
       }
       .toDF("a", "b", "va", "vb")
     def withShingles(df: DataFrame, key: String, sh: String): DataFrame =
-      df.withColumn("s0", concat(lit("\u0001"), lower(col(key)), lit("\u0002")))
+      df.withColumn("s0", sentinelWrapped(col(key)))
         .withColumn(sh, shinglesExpr)
         .drop("s0")
     val scored = withShingles(withShingles(withVecs, "a", "sha"), "b", "shb")
@@ -233,7 +244,7 @@ object Link {
     import spark.implicits._
 
     val withShingles = mentionVecs
-      .withColumn("s0", concat(lit("\u0001"), lower($"name"), lit("\u0002")))
+      .withColumn("s0", sentinelWrapped($"name"))
       .withColumn("sh", shinglesExpr)
       .drop("s0")
 

@@ -526,4 +526,140 @@ class CompactionSuite extends AnyFunSuite {
     assert(files(3) == before(3), "unlisted partition 3 was rewritten")
     assert(files(1) != before(1))
   }
+
+  test("pre-v2 band index is rebuilt wholesale on migration, links intact") {
+    val s = spark; import s.implicits._
+    val cfg = GraftConfig(linkMode = "lsh", linkThreshold = 0.7)
+    val io = new ParquetTableIO(
+      java.nio.file.Files.createTempDirectory("graftmigr").toString)
+    new Pipeline(cfg).materialize(spark.createDataset(batches(0)), io)
+    // a current-convention store carries the stamp
+    assert(io.flagSet(spark, "band_index_v2"))
+    // regress to the pre-v2 world: strip the stamp and scramble the
+    // stored minhashes (an old-convention index disagrees with v2 on
+    // every value — probing it with v2 batch signatures finds nothing)
+    io.overwrite(spark, "lsh_band_index",
+      io.read(spark, "lsh_band_index")
+        .withColumn("mh", concat(lit("old"), col("mh"))))
+    io.clearFlag(spark, "band_index_v2")
+    // next batch: "batch engine" must still link to batch-1's
+    // "batchengine" — impossible by cross-convention probing, so the
+    // engine must fall back to full-universe linking AND rebuild
+    new Pipeline(cfg).materialize(spark.createDataset(batches(1)), io)
+    assert(io.flagSet(spark, "band_index_v2"), "migration did not restamp")
+    val canon = io.read(spark, "canonical_map")
+      .select("name", "canonicalName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(canon.contains("batch engine") || canon.contains("batchengine"),
+      s"cross-batch link lost across index migration: ${canon.keySet}")
+    // the rebuilt index is EXACTLY the v2 signatures of its name universe
+    // (no old-convention survivors under first-wins append semantics)
+    val stored = io.read(spark, "lsh_band_index").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val expect = stages.Link
+      .bandSignatures(io.read(spark, "lsh_band_index").select("name").distinct())
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(stored == expect, "stored index rows are not pure v2 signatures")
+    // and a THIRD batch probes the migrated index on the fast path
+    // (bandIndex present + stamped) with results equal to a full rebuild
+    new Pipeline(cfg).materialize(spark.createDataset(batches(2)), io)
+    val canon3 = io.read(spark, "canonical_map")
+      .select("name", "canonicalName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(canon3.contains("parse tree") || canon3.contains("parsetree"),
+      s"post-migration incremental link missing: ${canon3.keySet}")
+  }
+
+  test("FLAT appendNew tables stay file-bounded over a long batch horizon") {
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftflat").toString
+    val io = new ParquetTableIO(root)
+    // the accumulation shape of `chunks` / `chunk_embeddings`: flat
+    // (unpartitioned) append-only tables, one file per shuffle task per
+    // batch — 20 batches × multi-part appends would leave O(batches ·
+    // parts) files without flat compaction
+    val batches = 20
+    (0 until batches).foreach { i =>
+      val df = (0 until 8).map(j => (s"k$i-$j", i)).toDF("k", "b")
+        .repartition(4) // multiple part files per append, like a real batch
+      io.appendNew(spark, "t", df, Seq("k"))
+    }
+    val n = new java.io.File(s"$root/t").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(n <= io.SliverThreshold + 4,
+      s"flat table holds $n files after $batches batches — compaction absent")
+    // content intact: every key exactly once, values preserved
+    val rows = io.read(spark, "t").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rows.size == 8 * batches)
+    assert((0 until batches).forall(i => (0 until 8).forall(j =>
+      rows(s"k$i-$j") == i)))
+  }
+
+  test("a compaction crashed mid-swap is healed by the next lock holder") {
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftheal").toString
+    val io = new ParquetTableIO(root)
+    io.merge(spark, "t", Seq(("a", 1), ("b", 2)).toDF("k", "v"), Seq("k"))
+    val tdir = s"$root/t"
+    // fabricate the exact on-disk state of a compactSlivers run that
+    // crashed AFTER committing its redo plan and executing only the
+    // first op: staged merge dir present, plan present, one sliver
+    // already removed, the staged merge file not yet moved in
+    val tmp = new java.io.File(s"${tdir}__tmpcompact"); tmp.mkdirs()
+    val staged = new java.io.File(tmp, "part-merged.parquet")
+    val live = new java.io.File(tdir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(live.toPath, staged.toPath)
+    val sliver = new java.io.File(tdir, "part-sliver.parquet")
+    java.nio.file.Files.copy(live.toPath, sliver.toPath) // a dup sliver
+    java.nio.file.Files.writeString(new java.io.File(tmp, "_plan").toPath,
+      s"mv\t${staged.getAbsolutePath}\t${new java.io.File(tdir, staged.getName).getAbsolutePath}\n" +
+        s"rm\t${sliver.getAbsolutePath}\n" +
+        s"rm\t${new java.io.File(tdir, "part-already-gone.parquet").getAbsolutePath}")
+    // next writer-lock acquisition replays the plan: mv lands, rm's run
+    // (including the idempotent one whose target is already gone), tmp
+    // dir dropped
+    io.withWriterLock(spark)(())
+    assert(new java.io.File(tdir, staged.getName).exists(),
+      "staged merge file was not moved in during healing")
+    assert(!sliver.exists(), "planned sliver removal was not replayed")
+    assert(!tmp.exists(), "tmpcompact dir survived healing")
+    // a tmp dir WITHOUT a plan never touched the live table → dropped whole
+    val orphan = new java.io.File(s"${tdir}__tmpcompact"); orphan.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(orphan, "part-x.parquet").toPath, "junk")
+    io.withWriterLock(spark)(())
+    assert(!orphan.exists(), "plan-less orphan tmpcompact dir not dropped")
+  }
+
+  test("appendNew refuses the fast path when only a layout PREFIX matches") {
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftlayout").toString
+    val io = new ParquetTableIO(root)
+    // a table physically partitioned by `l` ALONE (e.g. written by an
+    // older engine version) must NOT pass the two-level (l, vb) layout
+    // guard — the physical append would mix two dir nestings in one table
+    Seq(("a", 0, 0), ("b", 1, 1)).toDF("k", "l", "vb")
+      .write.partitionBy("l").parquet(s"$root/t")
+    io.appendNew(spark, "t", Seq(("c", 0, 2)).toDF("k", "l", "vb"),
+      Seq("k"), Seq("l", "vb"))
+    // fallback MERGE re-laid the table under the full two-level tree
+    val lDirs = new java.io.File(s"$root/t").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("l="))
+    assert(lDirs.nonEmpty)
+    lDirs.foreach { d =>
+      val entries = d.listFiles().filterNot(f =>
+        f.getName.startsWith("_") || f.getName.startsWith("."))
+      assert(entries.forall(f => f.isDirectory && f.getName.startsWith("vb=")),
+        s"mixed nesting under ${d.getName}: ${entries.map(_.getName).toSeq}")
+    }
+    assert(io.read(spark, "t").count() == 3)
+    // the re-laid table now matches → subsequent appends take the fast path
+    val before = io.snapshotFp(spark, "t")
+    io.appendNew(spark, "t", Seq(("d", 2, 3)).toDF("k", "l", "vb"),
+      Seq("k"), Seq("l", "vb"))
+    assert(io.snapshotFp(spark, "t") != before)
+    assert(io.read(spark, "t").count() == 4)
+  }
 }
