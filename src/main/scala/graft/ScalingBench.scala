@@ -107,13 +107,18 @@ object ScalingBench {
     * file-selective as well.
     *
     * Usage: runMain graft.ScalingBench incr [batches] [reposPerBatch]
-    *        [filesPerRepo] [cores] */
+    *        [filesPerRepo] [cores] [numBuckets] */
   private def incremental(args: Array[String]): Unit = {
     val nums = args.filter(_.forall(_.isDigit)).map(_.toInt)
     val batches = nums.lift(0).getOrElse(8)
     val reposPerBatch = nums.lift(1).getOrElse(120)
     val files = nums.lift(2).getOrElse(40)
     val cores = nums.lift(3).getOrElse(8)
+    // bucket count of the series' stores: at the default 32 a real batch
+    // reaches every bucket, so touched-bucket writes degenerate to the
+    // full table; a production-scale count (256+) makes the per-batch
+    // touched fraction < 1 and the read/write slopes show it
+    val numBuckets = nums.lift(4).getOrElse(graft.kg.pipeline.Pipeline.NumBuckets)
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-incr-$cores")
@@ -175,7 +180,8 @@ object ScalingBench {
       }
     }
 
-    val base = GraftConfig(linkMode = "lsh", linkThreshold = 0.85)
+    val base = GraftConfig(linkMode = "lsh", linkThreshold = 0.85,
+      numBuckets = numBuckets)
     val delta = series(base, "delta")
     val full = series(base.copy(fullCompaction = true), "full")
     def fmt(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
@@ -185,6 +191,7 @@ object ScalingBench {
     println(
       s"""{"metric":"kg_incremental","batches":$batches,""" +
         s""""docs_per_batch":${reposPerBatch * files},"cores":$cores,""" +
+        s""""num_buckets":$numBuckets,""" +
         s""""delta_secs":${fmt(delta.map(_.sec))},"full_secs":${fmt(full.map(_.sec))},""" +
         s""""delta_growth":${f"${growth(delta.map(_.sec))}%.2f"},""" +
         s""""full_growth":${f"${growth(full.map(_.sec))}%.2f"},""" +

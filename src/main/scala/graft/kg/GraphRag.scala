@@ -23,7 +23,24 @@ final class GraphRag(
     extractor: TripletExtractor = new RuleSVOExtractor()) {
 
   private val pipeline = new Pipeline(config, embedder, extractor)
-  private val retrieval = new Retrieval(embedder, config)
+
+  /** Query-side retrieval bound to the STORE's persisted bucket count
+    * (`num_buckets` layout metadata): partition pruning must compute
+    * bucket ids with the count the writer laid down, not the engine
+    * default. Resolved lazily and re-checked per access (a metadata
+    * stat, no job) — the first ingest into a fresh store stamps the
+    * metadata after this facade was constructed. */
+  @volatile private var retrievalCache: (Int, Retrieval) = null
+  private def retrieval: Retrieval = {
+    val nb = Pipeline.resolveNumBuckets(spark, io, config)
+    val c = retrievalCache
+    if (c != null && c._1 == nb) c._2
+    else {
+      val r = new Retrieval(embedder, config.copy(numBuckets = nb))
+      retrievalCache = (nb, r)
+      r
+    }
+  }
 
   final case class QueryResult(
       chunks: DataFrame, // (chunkId, score, text[, is_match ...])
@@ -238,13 +255,17 @@ final class GraphRag(
   }
 
   /** `graphrag stats`: table row counts (the reference's node/rel
-    * counts, `cli/main.py:90-104`). */
+    * counts, `cli/main.py:90-104`). Metadata-only: answered from the
+    * backend's countable metadata (parquet footer record counts — the
+    * Iceberg manifest analogue), zero count() jobs scheduled — the same
+    * path the per-batch ingest stats use, measured ~2.5× cheaper on a
+    * sliver-heavy store (graft.tools.StatsProbe). */
   def stats(): Map[String, Long] =
     Seq("chunks", "chunk_embeddings", "chunk_vec_index", "chunk_vec_meta",
       "terms", "edges", "edge_entity_index", "canonical_edges",
       "canonical_edge_entity_index", "vertices", "aliases", "lsh_band_index")
       .filter(io.exists(spark, _))
-      .map(t => t -> io.read(spark, t).count()).toMap
+      .map(t => t -> io.rowCount(spark, t)).toMap
 
   /** `graphrag reset` (`cli/main.py:36-60`): destructive truncate of all
     * graph tables. The empty frame is materialized from the schema (not a

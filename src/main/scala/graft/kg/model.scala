@@ -131,4 +131,16 @@ final case class GraftConfig(
       * vertices tables every batch (the reference semantics both paths
       * must equal — kept for the equivalence test and as a recovery
       * path). See [[graft.kg.pipeline.Pipeline]]`.compactDelta`. */
-    fullCompaction: Boolean = false)
+    fullCompaction: Boolean = false,
+    /** Partition-bucket count for the hash-bucketed table layouts
+      * (pbucket/ebucket/nbucket/cbucket/tbucket — Iceberg
+      * `bucket(N, col)` analogue). Applied when a store is CREATED and
+      * persisted in its `num_buckets` layout metadata; an existing
+      * store's persisted count always wins over this knob (readers and
+      * writers resolve from the store — mixing two bucket counts in one
+      * store is impossible by construction). Size so a batch's delta
+      * touches a FRACTION of the buckets and each bucket dir stays
+      * executor-memory-sized at the deployment's scale: the sandbox
+      * default 32 suits sf0.1; a 100 TB store wants hundreds to
+      * thousands. */
+    numBuckets: Int = graft.kg.pipeline.Pipeline.NumBuckets)

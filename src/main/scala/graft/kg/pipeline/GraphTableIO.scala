@@ -83,6 +83,16 @@ trait GraphTableIO extends Serializable {
   def setFlag(spark: SparkSession, name: String): Unit = ()
   def clearFlag(spark: SparkSession, name: String): Unit = ()
   def flagSet(spark: SparkSession, name: String): Boolean = false
+
+  /** Tiny durable layout metadata (key → value) — the Iceberg
+    * table-properties analogue: records layout constants every reader
+    * and writer of the store must agree on (e.g. `num_buckets`, the
+    * partition-bucket count of the hash-bucketed tables). Metadata-only
+    * — reading it must not schedule a job. Defaults: absent/no-op — a
+    * backend without durable metadata leaves resolution to the engine
+    * defaults. */
+  def putMeta(spark: SparkSession, name: String, value: String): Unit = ()
+  def getMeta(spark: SparkSession, name: String): Option[String] = None
 }
 
 /** Parquet-backed sandbox impl rooted at `root`. A production impl would
@@ -240,6 +250,31 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
   }
   override def flagSet(spark: SparkSession, name: String): Boolean =
     fs(spark).exists(flagPath(name))
+
+  /** Layout metadata as `_meta_<name>` sidecar files at the store root
+    * (hidden from snapshotFp/readers by the `_` prefix, like flags).
+    * Written via stage+rename so a reader never observes a torn value. */
+  private def metaPath(name: String) =
+    new org.apache.hadoop.fs.Path(root, s"_meta_$name")
+  override def putMeta(spark: SparkSession, name: String, value: String): Unit = {
+    val hfs = fs(spark)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    if (!hfs.exists(rootP)) hfs.mkdirs(rootP)
+    val tmp = new org.apache.hadoop.fs.Path(root, s"_meta_$name.staged")
+    val out = hfs.create(tmp, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+    hfs.delete(metaPath(name), false)
+    hfs.rename(tmp, metaPath(name)); ()
+  }
+  override def getMeta(spark: SparkSession, name: String): Option[String] = {
+    val hfs = fs(spark)
+    val p = metaPath(name)
+    if (!hfs.exists(p)) None
+    else {
+      val in = hfs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
+  }
 
   def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(path(table))

@@ -34,12 +34,13 @@ object Pipeline {
     * (base edges) and `canonical_edge_entity_index` (canonical edges).
     * Deduped on the index key: a self-edge (subj == obj after
     * canonicalization) explodes into two identical rows. */
-  def entityIndexRows(edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  def entityIndexRows(edges: org.apache.spark.sql.DataFrame,
+      numBuckets: Int = NumBuckets): org.apache.spark.sql.DataFrame =
     edges
       .select(explode(array(col("subj"), col("obj"))).as("entity"),
         col("subj"), col("pred"), col("obj"), col("label"), col("sourceChunkId"))
       .dropDuplicates("entity", "subj", "pred", "obj")
-      .withColumn("ebucket", pmod(hash(col("entity")), lit(NumBuckets)))
+      .withColumn("ebucket", pmod(hash(col("entity")), lit(numBuckets)))
 
   /** [[entityIndexRows]] plus each row's SOURCE-edge primary-layout
     * bucket (`pbucket = hash(pred)`) — the canonical index carries it so
@@ -48,16 +49,30 @@ object Pipeline {
     * instead of set-differencing the old vs new bucket content (two
     * shuffles over O(bucket) rows per batch, measured dominant in the
     * round-5 incremental series). */
-  def canonicalIndexRows(edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    entityIndexRows(edges)
-      .withColumn("pbucket", pmod(hash(col("pred")), lit(NumBuckets)))
+  def canonicalIndexRows(edges: org.apache.spark.sql.DataFrame,
+      numBuckets: Int = NumBuckets): org.apache.spark.sql.DataFrame =
+    entityIndexRows(edges, numBuckets)
+      .withColumn("pbucket", pmod(hash(col("pred")), lit(numBuckets)))
 
   /** canonical_map rows under the name-hash-bucketed layout (`cbucket`):
     * the query side canonicalizes its few surface-form entities with a
     * partition-pruned probe instead of scanning the whole linked-name
     * map (see [[graft.kg.retrieve.Retrieval.relationshipSearchCanonical]]). */
-  def canonicalMapLayout(map: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    map.withColumn("cbucket", pmod(hash(col("name")), lit(NumBuckets)))
+  def canonicalMapLayout(map: org.apache.spark.sql.DataFrame,
+      numBuckets: Int = NumBuckets): org.apache.spark.sql.DataFrame =
+    map.withColumn("cbucket", pmod(hash(col("name")), lit(numBuckets)))
+
+  /** The store's authoritative bucket count: its persisted `num_buckets`
+    * layout metadata when present; a store that pre-exists WITHOUT the
+    * metadata was written by a pre-knob engine at the historical
+    * [[NumBuckets]]; only a genuinely fresh store adopts the config
+    * knob. The store always wins over the knob — readers and writers
+    * resolving from one durable source is what makes mixing two bucket
+    * counts in one store impossible. */
+  def resolveNumBuckets(spark: org.apache.spark.sql.SparkSession,
+      io: GraphTableIO, config: GraftConfig): Int =
+    io.getMeta(spark, "num_buckets").map(_.trim.toInt).getOrElse(
+      if (io.exists(spark, "edges")) NumBuckets else config.numBuckets)
 }
 
 final class Pipeline(
@@ -293,7 +308,13 @@ final class Pipeline(
       if (v.isEmpty && bi.isEmpty) None else Some(s"v=$v;bi=$bi")
     }
     val r = run(corpus, existing, bandIndex, storeFp)
-    import Pipeline.NumBuckets
+    // authoritative bucket count for every bucketed write below: the
+    // store's durable `num_buckets` metadata (stamped now, under the
+    // writer lease, if absent) — never the raw config knob on an
+    // existing store (Pipeline.resolveNumBuckets)
+    val nb = Pipeline.resolveNumBuckets(spark, io, config)
+    if (io.getMeta(spark, "num_buckets").isEmpty)
+      io.putMeta(spark, "num_buckets", nb.toString)
     // the merges below consume chunks through three branches (chunks,
     // embeddings, terms) and triples through four more (edges, entity
     // index, canonical edges, vertices) — pin both for the duration of
@@ -316,9 +337,9 @@ final class Pipeline(
     // vertices by name hash — partition-parallel MERGE and pruning;
     // production = Iceberg bucket(N, col) transforms
     val edgesPart = r.edges.toDF()
-      .withColumn("pbucket", pmod(hash(col("pred")), lit(NumBuckets)))
+      .withColumn("pbucket", pmod(hash(col("pred")), lit(nb)))
     val verticesPart = r.vertices.toDF()
-      .withColumn("nbucket", pmod(hash(col("name")), lit(NumBuckets)))
+      .withColumn("nbucket", pmod(hash(col("name")), lit(nb)))
     // chunks / embeddings / terms / the steady-state vec index hold rows
     // that are PURE FUNCTIONS of their keys under a fixed pipeline config
     // (chunkId determines its text; text determines embeddings, terms
@@ -422,7 +443,7 @@ final class Pipeline(
     io.appendNew(spark, "terms",
       r.terms.toDF().groupBy("chunkId", "text", "termType")
         .agg(count(lit(1)).as("tf"))
-        .withColumn("tbucket", pmod(hash(col("text")), lit(NumBuckets))),
+        .withColumn("tbucket", pmod(hash(col("text")), lit(nb))),
       Seq("chunkId", "text", "termType"), Seq("tbucket"))
     io.merge(spark, "edges", edgesPart, Seq("subj", "pred", "obj"), Seq("pbucket"))
     // entity-bucketed SECONDARY edge layout: one row per (entity ∈ {subj,
@@ -432,7 +453,8 @@ final class Pipeline(
     // pred-hash primary layout prunes nothing for a by-entity filter.
     // Edges are immutable keyed rows, so exploding only the DELTA keeps
     // the index complete under MERGE accumulation.
-    io.merge(spark, "edge_entity_index", Pipeline.entityIndexRows(r.edges.toDF()),
+    io.merge(spark, "edge_entity_index",
+      Pipeline.entityIndexRows(r.edges.toDF(), nb),
       Seq("entity", "subj", "pred", "obj"), Seq("ebucket"))
     // canonical rows are NEVER merged from the batch-local map on
     // incremental batches: the batch's linking runs over its own alias
@@ -450,9 +472,20 @@ final class Pipeline(
     // prior incomplete batch may have merged base rows whose canonical
     // image the batch-local map knows nothing about
     val freshFastPath = existing.isEmpty && !priorIncomplete
-    if (freshFastPath) {
+    // EXACT-mode stores never materialize the canonical tables: exact
+    // linking produces no alias pairs, so the canonical map is the
+    // identity and canonical_edges / canonical_edge_entity_index would
+    // be byte-duplicates of the base tables — paying the store's largest
+    // index twice in write I/O and storage on every batch for zero query
+    // value (the facade's fallback chain serves base tables,
+    // GraphRag.query). A later lsh batch over such a store finds no
+    // canonical_map and backfills everything with one full compaction.
+    // Gated on the static link mode, not map emptiness — an lsh batch
+    // that happens to link nothing still maintains its canonical tables.
+    val identityMode = config.linkMode == "exact"
+    if (freshFastPath && !identityMode) {
       val canonEdgesPart = r.canonicalEdges.toDF()
-        .withColumn("pbucket", pmod(hash(col("pred")), lit(NumBuckets)))
+        .withColumn("pbucket", pmod(hash(col("pred")), lit(nb)))
       io.merge(spark, "canonical_edges", canonEdgesPart,
         Seq("subj", "pred", "obj"), Seq("pbucket"))
       // the QUERY-side layout of the canonical graph: the facade's
@@ -462,7 +495,7 @@ final class Pipeline(
       // cross-product makes merged relationships reachable from ANY
       // alias surface form, triplets.py:371-398 / retrieval.py:265-314)
       io.merge(spark, "canonical_edge_entity_index",
-        Pipeline.canonicalIndexRows(r.canonicalEdges.toDF()),
+        Pipeline.canonicalIndexRows(r.canonicalEdges.toDF(), nb),
         Seq("entity", "subj", "pred", "obj"), Seq("ebucket"))
     }
     io.merge(spark, "vertices", verticesPart, Seq("name"), Seq("nbucket"))
@@ -498,16 +531,30 @@ final class Pipeline(
       else io.appendNew(spark, "lsh_band_index", sigs, Seq("name", "band"))
       io.setFlag(spark, "band_index_v2") // convention stamp (idempotent)
     }
-    if (freshFastPath) {
+    if (identityMode && !io.exists(spark, "canonical_edges")) {
+      // exact-mode store with no canonical tables (see identityMode
+      // above): the canonical image IS the base image — nothing to
+      // create, maintain, or heal.
+    } else if (identityMode) {
+      // exact batch over a store that HAS canonical tables (an lsh
+      // past, or an older engine's identity duplicates): fold the
+      // batch's base edges into the canonical state under the STORED
+      // cumulative map — never the fresh path, which would overwrite
+      // canonical_map with this batch's (empty) map and orphan the
+      // batch's edges from the canonical image
+      if (config.fullCompaction || priorIncomplete ||
+          !io.exists(spark, "canonical_map")) compact(spark, io, nb)
+      else compactDelta(spark, io, r.edges, r.aliases, nb)
+    } else if (freshFastPath) {
       // the canonical-map table (CC output: LINKED names only, name →
       // canonicalName) seeds the next batch's delta compaction and
       // canonicalizes query entities (cbucket-pruned probe)
       io.overwrite(spark, "canonical_map",
         Pipeline.canonicalMapLayout(
-          r.canonical.toDF().filter(col("name") =!= col("canonicalName"))),
+          r.canonical.toDF().filter(col("name") =!= col("canonicalName")), nb),
         Seq("cbucket"))
-    } else if (config.fullCompaction || priorIncomplete) compact(spark, io)
-    else compactDelta(spark, io, r.edges, r.aliases)
+    } else if (config.fullCompaction || priorIncomplete) compact(spark, io, nb)
+    else compactDelta(spark, io, r.edges, r.aliases, nb)
     // aliases lifecycle: the table's only consumer is connected
     // components (full-compaction fallback; the delta path seeds from
     // canonical_map instead), for which any SPANNING structure of the
@@ -562,7 +609,8 @@ final class Pipeline(
     * name), and `vertices.canonicalName` is refreshed under the same map.
     * At 10^12-file scale this is the periodic compaction job; a read-time
     * remap view is the cheaper alternative when batches are frequent. */
-  private def compact(spark: SparkSession, io: GraphTableIO): Unit = {
+  private def compact(spark: SparkSession, io: GraphTableIO,
+      nb: Int = Pipeline.NumBuckets): Unit = {
     import spark.implicits._
     val allAliases = io.read(spark, "aliases").as[AliasPair]
     val baseEdges = io.read(spark, "edges")
@@ -573,14 +621,14 @@ final class Pipeline(
       broadcastCC = !config.saltedCanonicalJoin)
     val compacted = Materialize
       .canonicalEdges(baseEdges, canonAll, salted = config.saltedCanonicalJoin)
-      .toDF().withColumn("pbucket", pmod(hash(col("pred")), lit(Pipeline.NumBuckets)))
+      .toDF().withColumn("pbucket", pmod(hash(col("pred")), lit(nb)))
     io.overwrite(spark, "canonical_edges", compacted, Seq("pbucket"))
     // the entity-bucketed query layout of the canonical graph is derived
     // state of canonical_edges — rebuilt wholesale with it (reading the
     // just-swapped table back, so the CC solve above is not re-executed)
     io.overwrite(spark, "canonical_edge_entity_index",
       Pipeline.canonicalIndexRows(io.read(spark, "canonical_edges")
-        .select("subj", "pred", "obj", "label", "sourceChunkId")),
+        .select("subj", "pred", "obj", "label", "sourceChunkId"), nb),
       Seq("ebucket"))
     // vertices keep their mention-level identity (name is the MERGE key);
     // only the canonicalName pointer is remapped — same broadcast/plain
@@ -597,7 +645,7 @@ final class Pipeline(
     io.overwrite(spark, "vertices", refreshed, Seq("nbucket"))
     io.overwrite(spark, "canonical_map",
       Pipeline.canonicalMapLayout(
-        canonAll.toDF().filter(col("name") =!= col("canonicalName"))),
+        canonAll.toDF().filter(col("name") =!= col("canonicalName")), nb),
       Seq("cbucket"))
   }
 
@@ -650,8 +698,8 @@ final class Pipeline(
     * table-for-table in CompactionSuite (broadcast and salted configs). */
   private def compactDelta(spark: SparkSession, io: GraphTableIO,
       batchEdges: Dataset[RelatesToEdge],
-      batchAliases: Dataset[AliasPair]): Unit = {
-    import Pipeline.NumBuckets
+      batchAliases: Dataset[AliasPair],
+      nb: Int = Pipeline.NumBuckets): Unit = {
     import spark.implicits._
     // no stored canonical map (a store written before the table existed):
     // the delta path cannot locate prior batches' STALE rows — their
@@ -660,7 +708,7 @@ final class Pipeline(
     // unknowable (approximating it with the raw name misses rows whose
     // old canonical was a different name hashing to a different bucket).
     // Recover with one full rebuild, which also seeds canonical_map.
-    if (!io.exists(spark, "canonical_map")) { compact(spark, io); return }
+    if (!io.exists(spark, "canonical_map")) { compact(spark, io, nb); return }
     // join-strategy governance: ALL the map-side (and batch-derived-set)
     // joins below broadcast by default; under saltedCanonicalJoin — the
     // regime where the linked-name set outgrows executor memory — every
@@ -704,13 +752,13 @@ final class Pipeline(
       val buckets = affected.select($"pred")
         .join(oldMapP, Seq("pred"), "left").join(newMapP, Seq("pred"), "left")
         .select(explode(array(
-          pmod(hash(coalesce($"oc", $"pred")), lit(NumBuckets)),
-          pmod(hash(coalesce($"nc", $"pred")), lit(NumBuckets)))).as("b"))
+          pmod(hash(coalesce($"oc", $"pred")), lit(nb)),
+          pmod(hash(coalesce($"nc", $"pred")), lit(nb)))).as("b"))
         .distinct().as[Int].collect().toSeq // ≤ NumBuckets values
       // map-only pass 2: EVERY base edge whose new canonical pred lands in
       // an affected bucket (rebuild source — regenerates surviving rows)
       val rebuildSource = base.join(newMapP, Seq("pred"), "left")
-        .filter(pmod(hash(coalesce($"nc", $"pred")), lit(NumBuckets))
+        .filter(pmod(hash(coalesce($"nc", $"pred")), lit(nb))
           .isin(buckets: _*))
         .drop("nc").as[RelatesToEdge]
       // identity-complete the map for exactly the rebuild subset's names
@@ -730,14 +778,14 @@ final class Pipeline(
       // never materialized or diffed.
       def ebucketsOf(df: DataFrame): Seq[Int] = df
         .select(explode(array($"subj", $"obj")).as("e"))
-        .select(pmod(hash($"e"), lit(NumBuckets)).as("b"))
+        .select(pmod(hash($"e"), lit(nb)).as("b"))
         .distinct().as[Int].collect().toSeq
       val oldEbuckets = ebucketsOf(io.read(spark, "canonical_edges")
         .filter($"pbucket".isin(buckets: _*))) // partition-pruned read
       val newContent = Materialize
         .canonicalEdges(rebuildSource, canonForRebuild,
           salted = config.saltedCanonicalJoin)
-        .toDF().withColumn("pbucket", pmod(hash($"pred"), lit(NumBuckets)))
+        .toDF().withColumn("pbucket", pmod(hash($"pred"), lit(nb)))
         .localCheckpoint() // pinned: consumed by the write AND the index
       io.overwritePartitions(spark, "canonical_edges", newContent,
         "pbucket", buckets)
@@ -763,11 +811,12 @@ final class Pipeline(
           // from the just-swapped table
           io.overwrite(spark, "canonical_edge_entity_index",
             Pipeline.canonicalIndexRows(io.read(spark, "canonical_edges")
-              .select("subj", "pred", "obj", "label", "sourceChunkId")),
+              .select("subj", "pred", "obj", "label", "sourceChunkId"), nb),
             Seq("ebucket"))
         } else {
           val addedRows = Pipeline.canonicalIndexRows(
-            newContent.select("subj", "pred", "obj", "label", "sourceChunkId"))
+            newContent.select("subj", "pred", "obj", "label", "sourceChunkId"),
+            nb)
           val carried = io.read(spark, "canonical_edge_entity_index")
             .filter($"ebucket".isin(ebuckets: _*)) // partition-pruned
             .filter(!$"pbucket".isin(buckets: _*)) // rebuilt sources drop
@@ -781,7 +830,7 @@ final class Pipeline(
       // EVERY row in them gets its pointer regenerated from the new map
       // (idempotent for unaffected rows — their image is unchanged there)
       val nbuckets = affectedNames
-        .select(pmod(hash($"name"), lit(NumBuckets)).as("b"))
+        .select(pmod(hash($"name"), lit(nb)).as("b"))
         .distinct().as[Int].collect().toSeq
       val refreshed = io.read(spark, "vertices")
         .filter($"nbucket".isin(nbuckets: _*)) // partition-pruned read
@@ -793,7 +842,7 @@ final class Pipeline(
       io.overwritePartitions(spark, "vertices", refreshed, "nbucket", nbuckets)
     }
     io.overwrite(spark, "canonical_map",
-      Pipeline.canonicalMapLayout(newCC.select($"name", $"canonicalName")),
+      Pipeline.canonicalMapLayout(newCC.select($"name", $"canonicalName"), nb),
       Seq("cbucket"))
   }
 }

@@ -19,6 +19,24 @@ import org.apache.spark.sql.functions._
 final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
     extends Serializable {
 
+  /** Bucket id of a literal string under the store layout's
+    * `pmod(hash(x), numBuckets)` — the SAME Catalyst expression every
+    * writer used, constant-folded DRIVER-SIDE (`Expression.eval` over a
+    * literal tree: no plan, no LocalRelation, no job scheduling). The
+    * bucket count comes from `config.numBuckets`, which the facade
+    * resolves from the STORE's persisted `num_buckets` metadata — a
+    * reader must prune with the writer's count, not the engine default. */
+  private def bucketOfLit(v: String): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
+    // Murmur3Hash(seed = 42) + Pmod — the exact expressions `hash`/`pmod`
+    // plan; evaluated eagerly on the literal tree
+    Pmod(new Murmur3Hash(Seq(Literal(v))), Literal(config.numBuckets))
+      .eval(null).asInstanceOf[Int]
+  }
+
+  private def bucketsOfLits(vs: Seq[String]): Seq[Int] =
+    vs.map(bucketOfLit).distinct
+
   /** TF aggregation over a terms frame: in-flight terms carry one row per
     * occurrence (count them); the materialized table is deduped on the
     * MERGE key with an explicit `tf` multiplicity column (sum it) — same
@@ -44,13 +62,9 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
   private def pruneTermBuckets(terms: DataFrame, qTerms: Seq[String]): DataFrame =
     if (!terms.columns.contains("tbucket")) terms
     else {
-      val spark = terms.sparkSession
-      import spark.implicits._
-      // bucket ids via the SAME Murmur3 `hash` expression the writer used,
-      // folded over a LocalRelation (no job), as relationshipSearchIndexed
-      val buckets = spark.createDataset(qTerms).toDF("t")
-        .select(pmod(hash(col("t")), lit(Pipeline.NumBuckets)).as("b"))
-        .collect().map(_.getInt(0)).distinct.toSeq
+      // bucket ids via the SAME Murmur3 `hash` expression the writer
+      // used, constant-folded driver-side (bucketOfLit — no job)
+      val buckets = bucketsOfLits(qTerms)
       terms.filter(col("tbucket").isin(buckets: _*) || col("tbucket").isNull)
     }
 
@@ -344,11 +358,11 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
     * bucketed by pred hash only, so a by-entity filter prunes nothing and
     * at 100× every query pays a full scan (the reference's lookup is
     * per-entity indexed, `retrieval.py:265-314`). Here the query entities'
-    * bucket ids are computed driver-side (a LocalRelation projection —
-    * Catalyst folds it without launching a job, using the same Murmur3
-    * `hash` the writer used) and pushed as a LITERAL `ebucket IN (...)`
-    * predicate, so the parquet scan partition-prunes to ≤ |entities|
-    * of the NumBuckets directories before the row-level entity filter. */
+    * bucket ids are computed driver-side ([[bucketOfLit]] — the writer's
+    * own Murmur3 `hash` expression constant-folded, no job) and pushed as
+    * a LITERAL `ebucket IN (...)` predicate, so the parquet scan
+    * partition-prunes to ≤ |entities| of the store's bucket directories
+    * before the row-level entity filter. */
   def relationshipSearchIndexed(edgeIndex: DataFrame, query: String,
       topK: Int = config.topK): DataFrame = {
     val spark = edgeIndex.sparkSession
@@ -357,9 +371,7 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
     val resultCols =
       Seq($"subj", $"pred", $"obj", $"label", $"sourceChunkId", $"entity")
     if (entities.isEmpty) return edgeIndex.select(resultCols: _*).limit(0)
-    val buckets = spark.createDataset(entities).toDF("e")
-      .select(pmod(hash($"e"), lit(Pipeline.NumBuckets)).as("b"))
-      .collect().map(_.getInt(0)).distinct.toSeq
+    val buckets = bucketsOfLits(entities)
     edgeIndex
       .filter($"ebucket".isin(buckets: _*) && $"entity".isin(entities: _*))
       .select(resultCols: _*)
@@ -393,16 +405,13 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
     val resultCols =
       Seq($"subj", $"pred", $"obj", $"label", $"sourceChunkId", $"entity")
     if (entities.isEmpty) return canonEdgeIndex.select(resultCols: _*).limit(0)
-    def bucketsOf(names: Seq[String]): Seq[Int] =
-      spark.createDataset(names).toDF("e")
-        .select(pmod(hash($"e"), lit(Pipeline.NumBuckets)).as("b"))
-        .collect().map(_.getInt(0)).distinct.toSeq
     // surface form → canonical name (identity when unlinked); the isNull
-    // arm keeps rows a pre-cbucket engine version wrote
+    // arm keeps rows a pre-cbucket engine version wrote. The map probe's
+    // collect is the lookup's ONE job — every bucket id folds driver-side
     val mapPruned =
       if (!canonMap.columns.contains("cbucket")) canonMap
       else {
-        val bs = bucketsOf(entities)
+        val bs = bucketsOfLits(entities)
         canonMap.filter($"cbucket".isin(bs: _*) || $"cbucket".isNull)
       }
     val canonOf = mapPruned.filter($"name".isin(entities: _*))
@@ -415,7 +424,7 @@ final class Retrieval(embedder: Embedder, config: GraftConfig = GraftConfig())
     // merged edge set under their own entity value
     val surf = broadcast(spark.createDataset(pairs).toDF("qentity", "entity"))
     canonEdgeIndex
-      .filter($"ebucket".isin(bucketsOf(canonEnts): _*) &&
+      .filter($"ebucket".isin(bucketsOfLits(canonEnts): _*) &&
         $"entity".isin(canonEnts: _*))
       .join(surf, Seq("entity"))
       .select($"subj", $"pred", $"obj", $"label", $"sourceChunkId",

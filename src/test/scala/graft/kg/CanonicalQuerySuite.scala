@@ -92,7 +92,14 @@ class CanonicalQuerySuite extends AnyFunSuite {
   test("exact-mode store: canonical lookup degrades to the base-edge answer") {
     val cfg = GraftConfig(linkMode = "exact")
     val io = freshIngest(cfg)
-    indexInvariant(io)
+    // exact linking is the identity — the canonical tables would be
+    // byte-duplicates of the base tables (2× the store's largest index
+    // in write I/O and storage), so they are NOT materialized at all
+    assert(!io.exists(spark, "canonical_edges"),
+      "exact-mode store materialized identity canonical_edges")
+    assert(!io.exists(spark, "canonical_edge_entity_index"),
+      "exact-mode store materialized the identity canonical index")
+    assert(!io.exists(spark, "canonical_map"))
     val rag = new GraphRag(spark, io, cfg)
     val canon = rag.query("What is Batchengine?").triplets.get
       .collect().map(_.toString).toSet
@@ -104,6 +111,33 @@ class CanonicalQuerySuite extends AnyFunSuite {
       .collect().map(_.toString).toSet
     assert(canon == base)
     assert(canon.nonEmpty)
+  }
+
+  test("lsh batch over a previously-exact store backfills canonical tables") {
+    val s = spark; import s.implicits._
+    val io = new ParquetTableIO(
+      java.nio.file.Files.createTempDirectory("graftexactup").toString)
+    // batch 1 in exact mode: base tables only (no canonical state)
+    new Pipeline(GraftConfig(linkMode = "exact"))
+      .materialize(spark.createDataset(batches(0)), io)
+    assert(!io.exists(spark, "canonical_edges"))
+    // batch 2 upgrades to lsh: no canonical_map found → one full
+    // compaction derives ALL canonical state from the cumulative base
+    // edges + this batch's aliases
+    val cfg = GraftConfig(linkMode = "lsh", linkThreshold = 0.7)
+    new Pipeline(cfg).materialize(spark.createDataset(batches(1)), io)
+    assert(io.exists(spark, "canonical_edges") &&
+      io.exists(spark, "canonical_edge_entity_index") &&
+      io.exists(spark, "canonical_map"))
+    indexInvariant(io)
+    // batch 1's fact ("batchengine imports module parsetree") is
+    // reachable by batch 2's alias surface form, canonicalized
+    val rag = new GraphRag(spark, io, cfg)
+    val preds = rag.query("What is Batchengine?").triplets.get.collect()
+      .filter(_.getAs[String]("entity") == "batchengine")
+      .map(_.getAs[String]("pred")).toSet
+    assert(preds == Set("imports module", "calls function"),
+      s"upgrade lost cross-mode reachability: $preds")
   }
 
   test("pre-upgrade store (no canonical index): backfilled by the next batch") {

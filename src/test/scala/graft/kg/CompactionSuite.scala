@@ -527,6 +527,57 @@ class CompactionSuite extends AnyFunSuite {
     assert(files(1) != before(1))
   }
 
+  test("256-bucket store: pruning-positive dirs, mismatched knob ignored") {
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft256").toString
+    val io = new ParquetTableIO(root)
+    // fresh store created at numBuckets = 256 (a production-scale count
+    // where a small batch's reach is a strict FRACTION of the buckets)
+    new Pipeline(GraftConfig(linkMode = "exact", numBuckets = 256))
+      .materialize(spark.createDataset(batches(0)), io)
+    assert(io.getMeta(spark, "num_buckets").map(_.trim) == Some("256"))
+    def bucketDirs(t: String): Map[String, Set[(String, Long)]] =
+      new java.io.File(s"$root/$t").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("pbucket="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet).toMap
+    def badRows() = io.read(spark, "edges")
+      .filter(col("pbucket") =!= pmod(hash(col("pred")), lit(256))).count()
+    assert(badRows() == 0, "stored pbucket not derived at the store's 256")
+    val before = bucketDirs("edges")
+    // a writer left at the DEFAULT knob (32) must still write under the
+    // store's persisted 256 — the store always wins, so mixing two
+    // bucket counts in one table is impossible
+    new Pipeline(GraftConfig(linkMode = "exact"))
+      .materialize(spark.createDataset(batches(1)), io)
+    assert(io.getMeta(spark, "num_buckets").map(_.trim) == Some("256"))
+    assert(badRows() == 0,
+      "mismatched-knob writer laid rows under its own bucket count")
+    // pruning-POSITIVE evidence: the batch touched a strict fraction of
+    // the store's bucket dirs; untouched dirs are physically byte-stable
+    val after = bucketDirs("edges")
+    val untouched = before.filter { case (d, f) => after.get(d).contains(f) }
+    val touched = after.keySet.filterNot(d => before.get(d).contains(after(d)))
+    assert(untouched.nonEmpty,
+      s"every one of ${before.size} bucket dirs rewritten — no physical pruning")
+    assert(touched.size < after.size,
+      s"all ${after.size} dirs touched by a ${batches(1).size}-doc batch")
+    // query side resolves the store's count from metadata (not the knob):
+    // the facade's pruned lookup equals the unpruned full scan
+    val rag = new GraphRag(spark, io, GraftConfig(linkMode = "exact"))
+    val sel = Seq("entity", "subj", "pred", "obj")
+    val viaIdx = rag.query("What is Batchengine?").triplets.get
+      .select(sel.map(col): _*).collect().map(_.toString).toSet
+    val full = new retrieve.Retrieval(new embed.HashEmbedder())
+      .relationshipSearch(io.read(spark, "edges")
+        .select("subj", "pred", "obj", "label", "sourceChunkId"),
+        "What is Batchengine?")
+      .select(sel.map(col): _*).collect().map(_.toString).toSet
+    assert(viaIdx == full && viaIdx.nonEmpty,
+      s"pruned-at-256 facade lookup != full scan: $viaIdx vs $full")
+  }
+
   test("pre-v2 band index is rebuilt wholesale on migration, links intact") {
     val s = spark; import s.implicits._
     val cfg = GraftConfig(linkMode = "lsh", linkThreshold = 0.7)

@@ -210,6 +210,22 @@ class GraphRagSuite extends AnyFunSuite {
     assert(res.chunks.collect().nonEmpty)
   }
 
+  test("stats() is metadata-only: zero Spark jobs scheduled") {
+    engine.stats() // warm any lazy session state first
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val st = engine.stats()
+      Thread.sleep(1000) // listener events post asynchronously
+      assert(st.nonEmpty && st("chunks") > 0)
+      assert(jobs == 0, s"stats() scheduled $jobs Spark jobs — footer path lost")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("re-ingest is idempotent; stats stable; reset truncates") {
     val before = engine.stats()
     engine.ingest(corpus)
