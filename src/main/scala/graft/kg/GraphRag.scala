@@ -27,15 +27,16 @@ final class GraphRag(
   /** Query-side retrieval bound to the STORE's persisted bucket count
     * (`num_buckets` layout metadata): partition pruning must compute
     * bucket ids with the count the writer laid down, not the engine
-    * default. Resolved lazily and re-checked per access (a metadata
-    * stat, no job) — the first ingest into a fresh store stamps the
-    * metadata after this facade was constructed. */
+    * default. Resolved lazily and cached per facade instance;
+    * [[ingest]]/[[reset]] invalidate it (the first ingest into a fresh
+    * store stamps the metadata after this facade was constructed, and a
+    * reset clears it). */
   @volatile private var retrievalCache: (Int, Retrieval) = null
   private def retrieval: Retrieval = {
-    val nb = Pipeline.resolveNumBuckets(spark, io, config)
     val c = retrievalCache
-    if (c != null && c._1 == nb) c._2
+    if (c != null) c._2
     else {
+      val nb = Pipeline.resolveNumBuckets(spark, io, config)
       val r = new Retrieval(embedder, config.copy(numBuckets = nb))
       retrievalCache = (nb, r)
       r
@@ -106,6 +107,7 @@ final class GraphRag(
   private def dropCaches(): Unit = {
     tableCache.clear()
     annThresholdsCache = null
+    retrievalCache = null // num_buckets may change across an ingest/reset
   }
 
   private def chunksDs = {
@@ -284,6 +286,13 @@ final class GraphRag(
         io.overwrite(spark, t, empty)
       }
     }
+    // a reset store is a FRESH store: layout constants and convention
+    // stamps go with the data, so the next ingest re-adopts the config
+    // knob (a surviving num_buckets would silently pin the old layout)
+    io.clearMeta(spark, "num_buckets")
+    io.clearFlag(spark, "band_index_v2")
+    io.clearFlag(spark, "batch_inflight")
+    retrievalCache = null
   }
 }
 

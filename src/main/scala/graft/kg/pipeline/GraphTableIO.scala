@@ -40,8 +40,13 @@ trait GraphTableIO extends Serializable {
     * are dropped, genuinely new rows are PHYSICALLY APPENDED — no
     * rewrite of existing data, so maintaining such a table costs
     * O(delta) writes per batch instead of O(table). Existing file
-    * listings stay valid (nothing is swapped), so readers opened before
-    * the append simply see the pre-append snapshot. `partitionCols`
+    * listings stay valid across the append itself (nothing is swapped);
+    * the SLIVER COMPACTION that may follow an append replaces sub-bound
+    * files, so a reader holding a pre-batch listing across a
+    * threshold-crossing batch has the same single-writer-window caveat
+    * as every swap path here — in-engine consumers cut lineage eagerly
+    * (the incremental linking probe localCheckpoints its band-index
+    * scans) rather than re-scanning a stale listing. `partitionCols`
     * appends under the table's partition layout (new files land inside
     * the existing partition dirs). Key-collision semantics are
     * FIRST-WINS (the reference's Neo4j `MERGE ... ON CREATE SET` — a
@@ -93,6 +98,7 @@ trait GraphTableIO extends Serializable {
     * defaults. */
   def putMeta(spark: SparkSession, name: String, value: String): Unit = ()
   def getMeta(spark: SparkSession, name: String): Option[String] = None
+  def clearMeta(spark: SparkSession, name: String): Unit = ()
 }
 
 /** Parquet-backed sandbox impl rooted at `root`. A production impl would
@@ -155,18 +161,43 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
             case None => false
           }
         } catch { case _: Exception => false }
-        // reclaim by ATOMIC RENAME of the stale lease to a waiter-unique
-        // tombstone: two waiters observing the same crashed lease race on
-        // rename(2) of one source path — exactly one succeeds, so exactly
-        // one proceeds to re-acquire (read→delete→create would let both
-        // delete/create and both believe they hold the lock). The loser's
-        // createNewFile then fails against the winner's fresh lease. The
-        // winner's tombstone is deleted after (a crash leaving it behind
-        // is inert — nothing ever reads `_writer.lock.reclaimed.*`).
+        // reclaim under an OS-level mutex (`flock` on a shared guard
+        // file, never deleted): all reclaimers serialize, and the lease
+        // is RE-READ inside the critical section — if another waiter
+        // reclaimed first and wrote its own live lease, the re-read sees
+        // a live pid and this waiter fails fast. A plain rename-to-
+        // tombstone is NOT enough: rename(2) acts on whatever file is at
+        // the path, so a late waiter would happily rename the winner's
+        // fresh LIVE lease. The residual delete→create gap inside the
+        // guard is safe in the fail-safe direction: a non-reclaiming
+        // writer's createNewFile can slip in between, making OUR create
+        // fail (we refuse; it holds a valid lease).
         val reclaimed = stale && {
-          val tomb = new java.io.File(f0.getParentFile,
-            s"_writer.lock.reclaimed.${ProcessHandle.current().pid()}")
-          f0.renameTo(tomb) && { tomb.delete(); f0.createNewFile() }
+          val guard = new java.io.File(f0.getParentFile, "_writer.lock.guard")
+          try {
+            guard.createNewFile() // shared, persistent; content unused
+            val ch = java.nio.channels.FileChannel.open(guard.toPath,
+              java.nio.file.StandardOpenOption.WRITE)
+            try {
+              val fl = try ch.tryLock()
+                catch { case _: java.nio.channels.OverlappingFileLockException => null }
+              fl != null && {
+                try {
+                  val still = try {
+                    "pid=(\\d+)".r.findFirstMatchIn(
+                        java.nio.file.Files.readString(f0.toPath))
+                      .exists { m =>
+                        val pid = m.group(1).toLong
+                        val h = ProcessHandle.of(pid)
+                        pid != ProcessHandle.current().pid() &&
+                          !(h.isPresent && h.get().isAlive)
+                      }
+                  } catch { case _: Exception => false }
+                  still && { f0.delete(); f0.createNewFile() }
+                } finally fl.release()
+              }
+            } finally ch.close()
+          } catch { case _: Exception => false }
         }
         if (!reclaimed) fail()
       }
@@ -274,6 +305,9 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
       val in = hfs.open(p)
       try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
     }
+  }
+  override def clearMeta(spark: SparkSession, name: String): Unit = {
+    fs(spark).delete(metaPath(name), false); ()
   }
 
   def read(spark: SparkSession, table: String): DataFrame =
@@ -476,8 +510,20 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
     * paths: a layout written by a different engine version falls back to
     * the full-rewrite MERGE, which re-lays the table under the current
     * layout (and null-fills evolved columns). */
+  /** Per-(table, layout) validation memo: the deep walk below costs one
+    * listStatus per directory (1k+ calls on the vector index), and under
+    * the single-writer contract a layout this instance validated — or
+    * laid down itself — can only change through this instance's own
+    * writers, every one of which either preserves the tree
+    * (appendNew/compactSlivers/overwritePartitions) or re-lays it and
+    * re-records here (writeSwap). An EXTERNAL writer mutating the tree
+    * concurrently is already excluded by the writer lease. */
+  private val layoutMemo =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Seq[String])]()
+
   private def layoutMatches(spark: SparkSession, table: String,
       partitionCols: Seq[String]): Boolean = {
+    if (layoutMemo.contains((table, partitionCols))) return true
     val hfs = fs(spark)
     def ok(p: org.apache.hadoop.fs.Path, depth: Int): Boolean = {
       val st = hfs.listStatus(p).filterNot(s =>
@@ -493,7 +539,9 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
         }
       }
     }
-    ok(new org.apache.hadoop.fs.Path(path(table)), 0)
+    val valid = ok(new org.apache.hadoop.fs.Path(path(table)), 0)
+    if (valid) { layoutMemo.add((table, partitionCols)); () }
+    valid
   }
 
   def merge(spark: SparkSession, table: String, delta: DataFrame,
@@ -650,6 +698,10 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
     * partition dir. */
   private def writeSwap(spark: SparkSession, table: String, df: DataFrame,
       partitionCols: Seq[String]): Unit = {
+    // a full rewrite may change the partition tree (or leave a FLAT
+    // empty file for an empty partitioned frame) — drop every memoized
+    // layout verdict for this table before the swap
+    layoutMemo.removeIf(_._1 == table)
     val tmp = path(table) + "__tmp"
     val out =
       if (partitionCols.nonEmpty)

@@ -65,14 +65,28 @@ object Pipeline {
   /** The store's authoritative bucket count: its persisted `num_buckets`
     * layout metadata when present; a store that pre-exists WITHOUT the
     * metadata was written by a pre-knob engine at the historical
-    * [[NumBuckets]]; only a genuinely fresh store adopts the config
-    * knob. The store always wins over the knob — readers and writers
-    * resolving from one durable source is what makes mixing two bucket
-    * counts in one store impossible. */
+    * [[NumBuckets]] (checked against EVERY table a crashed first batch
+    * could have left, not just `edges` — a store whose only table is
+    * `chunks` was still laid down at 32); only a genuinely fresh store
+    * adopts the config knob. The store always wins over the knob —
+    * readers and writers resolving from one durable source is what
+    * makes mixing two bucket counts in one store impossible. A backend
+    * whose metadata is a no-op (default `putMeta`) resolves to the
+    * engine default ALWAYS — the knob silently varying per batch on
+    * such a backend would mix layouts; materialize detects the no-op by
+    * re-reading after the stamp and pins [[NumBuckets]]. */
   def resolveNumBuckets(spark: org.apache.spark.sql.SparkSession,
       io: GraphTableIO, config: GraftConfig): Int =
     io.getMeta(spark, "num_buckets").map(_.trim.toInt).getOrElse(
-      if (io.exists(spark, "edges")) NumBuckets else config.numBuckets)
+      // rowCount distinguishes a pre-knob store (rows laid down at 32)
+      // from a RESET one (tables exist but empty — any count is
+      // consistent with zero rows, so the knob may apply). Metadata-only
+      // (footers) and paid only while the meta is absent: the first
+      // materialize stamps it and this branch never runs again.
+      if (Seq("chunks", "terms", "edges", "vertices", "chunk_embeddings")
+            .exists(t => io.exists(spark, t) && io.rowCount(spark, t) > 0))
+        NumBuckets
+      else config.numBuckets)
 }
 
 final class Pipeline(
@@ -283,12 +297,19 @@ final class Pipeline(
     // (aliases localCheckpoint) before any table swap, because the
     // bucket-selective vertices merge deletes the files this listing
     // names — a lazy recompute after the swap would FileNotFound.
+    // captured BEFORE this batch's merges: "store pre-existed" signals
+    // for the band-index reconcile below (after the vertices merge,
+    // io.exists(vertices) is true even for a genuinely fresh store)
+    val verticesPreexisted = io.exists(spark, "vertices")
     val existing =
-      if (config.linkMode == "lsh" && io.exists(spark, "vertices"))
+      if (config.linkMode == "lsh" && verticesPreexisted)
         Some(io.read(spark, "vertices"))
       else None
-    // no snapshot needed: the index is append-only (appendNew) — a
-    // DataFrame opened here lists the pre-batch files and stays valid.
+    // no snapshot needed: the index is append-only (appendNew), and the
+    // incremental linking probe MATERIALIZES its scans of this frame
+    // eagerly (localCheckpoint in lshAliasesIncremental) — so even the
+    // sliver compaction that may replace sub-bound index files at this
+    // batch's own append can't invalidate a lazy plan later.
     // Shingle-convention versioning: an index signed under a pre-v2
     // convention (no `band_index_v2` flag) must NOT be probed with v2
     // batch signatures — the md5 band minhashes differ for every name,
@@ -311,10 +332,19 @@ final class Pipeline(
     // authoritative bucket count for every bucketed write below: the
     // store's durable `num_buckets` metadata (stamped now, under the
     // writer lease, if absent) — never the raw config knob on an
-    // existing store (Pipeline.resolveNumBuckets)
-    val nb = Pipeline.resolveNumBuckets(spark, io, config)
-    if (io.getMeta(spark, "num_buckets").isEmpty)
-      io.putMeta(spark, "num_buckets", nb.toString)
+    // existing store (Pipeline.resolveNumBuckets). If the backend's
+    // metadata is a no-op (stamp doesn't read back), pin the engine
+    // default: a knob that silently varied per batch would mix bucket
+    // counts in one store with wrong query pruning.
+    val nb = {
+      val resolved = Pipeline.resolveNumBuckets(spark, io, config)
+      if (io.getMeta(spark, "num_buckets").isDefined) resolved
+      else {
+        io.putMeta(spark, "num_buckets", resolved.toString)
+        if (io.getMeta(spark, "num_buckets").isDefined) resolved
+        else Pipeline.NumBuckets
+      }
+    }
     // the merges below consume chunks through three branches (chunks,
     // embeddings, terms) and triples through four more (edges, entity
     // index, canonical edges, vertices) — pin both for the duration of
@@ -505,19 +535,25 @@ final class Pipeline(
     // appended (O(batch) write, no table rewrite; GraphTableIO.appendNew).
     // A legacy store (pre-index) gets a one-time backfill of the prior
     // vertex names, after which every later batch probes instead of
-    // re-signing the universe.
-    if (config.linkMode == "lsh") {
+    // re-signing the universe. An EXACT batch over a store that HAS the
+    // index must maintain it too: its names enter the cumulative mention
+    // universe, and a later lsh batch links against the index alone — an
+    // unsigned name would be invisible to incremental linking FOREVER
+    // (the aliases it should have formed are never derived, so not even
+    // a full compaction could recover them).
+    if (config.linkMode == "lsh" || bandIndexStored) {
       val batchSigs = graft.kg.stages.Link
         .bandSignatures(r.mentionVecs.select(col("name")))
-      // backfill the index when it is missing (legacy store) — and
-      // RECONCILE it against the cumulative vertex names after a crash:
-      // a batch that died between its vertices merge and its index
-      // append leaves names the incremental probe would otherwise never
-      // see again (appendNew makes the reconcile idempotent and its
-      // write O(missing))
+      // re-sign the FULL vertex-name universe (not just the batch) when
+      // the stored index cannot be trusted to cover it: absent (legacy
+      // store), pre-v2 (about to be replaced wholesale — its rows carry
+      // the wrong minhashes for every name), or a crashed predecessor (a
+      // batch that died between its vertices merge and its index append
+      // leaves names the incremental probe would otherwise never see
+      // again; appendNew makes the reconcile idempotent, O(missing))
       val sigs =
-        if ((bandIndex.isEmpty && existing.isDefined) ||
-            (priorIncomplete && io.exists(spark, "vertices")))
+        if ((!bandIndexStored || bandIndexPreV2 || priorIncomplete) &&
+            verticesPreexisted)
           batchSigs.unionByName(graft.kg.stages.Link
             .bandSignatures(io.read(spark, "vertices").select(col("name"))))
         else batchSigs
@@ -609,8 +645,11 @@ final class Pipeline(
     * name), and `vertices.canonicalName` is refreshed under the same map.
     * At 10^12-file scale this is the periodic compaction job; a read-time
     * remap view is the cheaper alternative when batches are frequent. */
+  // nb REQUIRED: a call site defaulting to the engine constant on a
+  // store persisted at another count would rewrite the canonical tables
+  // under the wrong layout with no compile-time or runtime signal
   private def compact(spark: SparkSession, io: GraphTableIO,
-      nb: Int = Pipeline.NumBuckets): Unit = {
+      nb: Int): Unit = {
     import spark.implicits._
     val allAliases = io.read(spark, "aliases").as[AliasPair]
     val baseEdges = io.read(spark, "edges")
@@ -699,7 +738,7 @@ final class Pipeline(
   private def compactDelta(spark: SparkSession, io: GraphTableIO,
       batchEdges: Dataset[RelatesToEdge],
       batchAliases: Dataset[AliasPair],
-      nb: Int = Pipeline.NumBuckets): Unit = {
+      nb: Int): Unit = {
     import spark.implicits._
     // no stored canonical map (a store written before the table existed):
     // the delta path cannot locate prior batches' STALE rows — their

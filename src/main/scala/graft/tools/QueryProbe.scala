@@ -29,7 +29,11 @@ object QueryProbe {
     import spark.implicits._
 
     val io = new ParquetTableIO(root)
-    val retrieval = new Retrieval(new HashEmbedder())
+    // prune with the STORE's persisted bucket count, not the engine
+    // default — a probe at the wrong count silently drops rows
+    val retrieval = new Retrieval(new HashEmbedder(), GraftConfig(
+      numBuckets = graft.kg.pipeline.Pipeline
+        .resolveNumBuckets(spark, io, GraftConfig())))
     val q = "utils imports module parseTree"
     def chunksDs = io.read(spark, "chunks").as[Chunk]
     val thr = graft.kg.retrieve.VectorIndex.readThresholds(spark, io).get

@@ -527,6 +527,57 @@ class CompactionSuite extends AnyFunSuite {
     assert(files(1) != before(1))
   }
 
+  test("an EXACT batch's names are signed into an lsh store's band index") {
+    val s = spark; import s.implicits._
+    val io = new ParquetTableIO(
+      java.nio.file.Files.createTempDirectory("graftmixmode").toString)
+    val lshCfg = GraftConfig(linkMode = "lsh", linkThreshold = 0.7)
+    // batch 1 (lsh): creates the band index
+    new Pipeline(lshCfg).materialize(
+      spark.createDataset(Seq(row("a.scala", "StoreMap uses dataTree."))), io)
+    // batch 2 (EXACT) introduces a brand-new entity: its mention names
+    // MUST still be appended to the index — a later lsh batch links
+    // against the index alone, and an unsigned name would be invisible
+    // to incremental linking forever
+    new Pipeline(GraftConfig(linkMode = "exact")).materialize(
+      spark.createDataset(Seq(
+        row("b.scala", "BatchEngine imports module parseTree."))), io)
+    val signed = io.read(spark, "lsh_band_index").select("name")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(signed.contains("batchengine"),
+      s"exact batch's mention not signed into the band index: $signed")
+    // batch 3 (lsh): the alias surface form of the EXACT batch's entity
+    // must link through the stored-index probe (no legacy full join —
+    // the index exists and is v2-stamped)
+    new Pipeline(lshCfg).materialize(
+      spark.createDataset(Seq(
+        row("c.scala", "Batch engine calls function sortTree."))), io)
+    val canon = io.read(spark, "canonical_map")
+      .select("name", "canonicalName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(canon.contains("batch engine") || canon.contains("batchengine"),
+      s"lsh batch failed to link against an exact batch's name: ${canon.keySet}")
+  }
+
+  test("reset() clears layout metadata: the next ingest adopts the knob") {
+    val s = spark; import s.implicits._
+    val io = new ParquetTableIO(
+      java.nio.file.Files.createTempDirectory("graftresetnb").toString)
+    val rag = new GraphRag(spark, io, GraftConfig(linkMode = "exact"))
+    rag.ingest(spark.createDataset(batches(0)))
+    assert(io.getMeta(spark, "num_buckets").map(_.trim) == Some("32"))
+    rag.reset()
+    assert(io.getMeta(spark, "num_buckets").isEmpty,
+      "reset left the num_buckets layout stamp behind")
+    // a reset store is fresh: the next writer's knob applies
+    new Pipeline(GraftConfig(linkMode = "exact", numBuckets = 64))
+      .materialize(spark.createDataset(batches(1)), io)
+    assert(io.getMeta(spark, "num_buckets").map(_.trim) == Some("64"))
+    assert(io.read(spark, "edges")
+      .filter(col("pbucket") =!= pmod(hash(col("pred")), lit(64)))
+      .count() == 0, "post-reset rows not bucketed at the new knob")
+  }
+
   test("256-bucket store: pruning-positive dirs, mismatched knob ignored") {
     val s = spark; import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft256").toString
