@@ -28,24 +28,47 @@ final class GraphRag(
     * (`num_buckets` layout metadata): partition pruning must compute
     * bucket ids with the count the writer laid down, not the engine
     * default. Resolved lazily and cached per facade instance;
-    * [[ingest]]/[[reset]] invalidate it (the first ingest into a fresh
-    * store stamps the metadata after this facade was constructed, and a
-    * reset clears it). */
-  @volatile private var retrievalCache: (Int, Retrieval) = null
+    * [[ingest]]/[[reset]] invalidate it. The cached pair records WHETHER
+    * the count came from the stamped metadata: once stamped, the count
+    * is immutable for the life of the store (only [[reset]] clears it,
+    * and that invalidates this cache), so the warm path makes zero FS
+    * calls — but a resolution made while the store was UNSTAMPED (e.g.
+    * a read-only facade constructed before a separate writer's first
+    * ingest) is re-checked against the metadata on every access and
+    * upgraded the moment a stamp appears, so such a reader does not
+    * keep pruning with a stale fallback count forever. */
+  @volatile private var retrievalCache: (Boolean, Retrieval) = null
   private def retrieval: Retrieval = {
     val c = retrievalCache
-    if (c != null) c._2
+    if (c != null && c._1) c._2 // stamped-store resolution: pinned
     else {
-      val nb = Pipeline.resolveNumBuckets(spark, io, config)
-      val r = new Retrieval(embedder, config.copy(numBuckets = nb))
-      retrievalCache = (nb, r)
-      r
+      val stamped = io.getMeta(spark, "num_buckets").isDefined
+      if (c != null && !stamped) c._2 // still unstamped: fallback holds
+      else {
+        val nb = Pipeline.resolveNumBuckets(spark, io, config)
+        val r = new Retrieval(embedder, config.copy(numBuckets = nb))
+        retrievalCache = (stamped, r)
+        r
+      }
     }
   }
 
-  final case class QueryResult(
-      chunks: DataFrame, // (chunkId, score, text[, is_match ...])
-      triplets: Option[DataFrame]) // (entity, subj, pred, obj, ...)
+  /** Result of [[query]]. Each side is a LAZY plan: building the hits
+    * side is not free — [[Retrieval.hybridSearch]] pins its two topK
+    * branches with `localCheckpoint(eager = false)`, and constructing
+    * the checkpoint RDD under AQE executes the plan's shuffle stages —
+    * so a caller consuming only the triplets must not pay for a hits
+    * frame it never reads (measured on the 250k bench store: 1.93 s per
+    * triplets-only query of which the triplet lookup itself was 0.15 s,
+    * graft.tools.RelProbe; the rest was the eagerly-built hits side). */
+  final class QueryResult private[GraphRag] (
+      chunksThunk: () => DataFrame,
+      tripletsThunk: Option[() => DataFrame]) {
+    /** (chunkId, score, text[, is_match ...]) */
+    lazy val chunks: DataFrame = chunksThunk()
+    /** (entity, subj, pred, obj, ...) */
+    lazy val triplets: Option[DataFrame] = tripletsThunk.map(_())
+  }
 
   /** `graphrag process`: ingest a corpus batch into the graph tables
     * (idempotent MERGE; incremental linking in lsh mode). Returns stage
@@ -104,8 +127,19 @@ final class GraphRag(
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def table(name: String): DataFrame =
     tableCache.getOrElseUpdate(name, io.read(spark, name))
+  /** Table EXISTENCE, cached like the handles: the query fallback chains
+    * probe up to three tables per call, and at 100 TB an existence check
+    * is a metastore/object-store round trip — the warm query path must
+    * make zero FS calls (same invalidation contract as [[table]]:
+    * ingest/reset through this facade drop the cache; an external writer
+    * requires a fresh facade). */
+  private val existsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private def tableExists(name: String): Boolean =
+    existsCache.getOrElseUpdate(name, io.exists(spark, name))
   private def dropCaches(): Unit = {
     tableCache.clear()
+    existsCache.clear()
     annThresholdsCache = null
     retrievalCache = null // num_buckets may change across an ingest/reset
   }
@@ -163,27 +197,27 @@ final class GraphRag(
       idfWeighting: Boolean = false,
       ranking: String = "",
       vectorMode: String = "exact"): QueryResult = {
-    val terms = table("terms")
-    val rank = if (ranking.nonEmpty) ranking else if (idfWeighting) "idf" else "tf"
-    def termHits = rank match {
-      case "idf"  => retrieval.termSearchIdf(terms, chunksDs, q, topK)
-      case "bm25" => retrieval.termSearchBm25(terms, chunksDs, q, topK)
-      case _      => retrieval.termSearch(terms, chunksDs, q, topK)
-    }
-    val vectorHits =
-      if (vectorMode == "ann" && io.exists(spark, "chunk_vec_index") &&
-          // a MISSING sidecar (legacy index, geometry unknowable) or one
-          // from a DIFFERENT index geometry (plane-count mismatch) means
-          // the store predates the current layout — fall back to the
-          // exact scan until an ingest/rebuild migrates the index
-          // (Pipeline's geometry-upgrade path)
-          annThresholds.exists(
-            _.length == graft.kg.retrieve.VectorIndex.NumPlanes))
-        Some(retrieval.vectorSearchAnn(
-          table("chunk_vec_index"), chunksDs, q, topK,
-          thresholds = annThresholds.get))
-      else None
-    val hits =
+    def hits: DataFrame = {
+      val terms = table("terms")
+      val rank = if (ranking.nonEmpty) ranking else if (idfWeighting) "idf" else "tf"
+      def termHits = rank match {
+        case "idf"  => retrieval.termSearchIdf(terms, chunksDs, q, topK)
+        case "bm25" => retrieval.termSearchBm25(terms, chunksDs, q, topK)
+        case _      => retrieval.termSearch(terms, chunksDs, q, topK)
+      }
+      val vectorHits =
+        if (vectorMode == "ann" && tableExists("chunk_vec_index") &&
+            // a MISSING sidecar (legacy index, geometry unknowable) or one
+            // from a DIFFERENT index geometry (plane-count mismatch) means
+            // the store predates the current layout — fall back to the
+            // exact scan until an ingest/rebuild migrates the index
+            // (Pipeline's geometry-upgrade path)
+            annThresholds.exists(
+              _.length == graft.kg.retrieve.VectorIndex.NumPlanes))
+          Some(retrieval.vectorSearchAnn(
+            table("chunk_vec_index"), chunksDs, q, topK,
+            thresholds = annThresholds.get))
+        else None
       if (withContext) {
         // §3.3: graph-only retrieval + ±contextSize range-join expansion
         val graphHits = termHits.select(col("chunkId"), col("score"))
@@ -192,25 +226,25 @@ final class GraphRag(
         retrieval.hybridSearch(terms, chunksDs, embeddingsDs, q, topK,
           termHits = Some(termHits), vectorHits = vectorHits)
       }
-    val triplets =
-      if (includeTriplets)
-        // DEFAULT: the canonical graph — query entities canonicalized
-        // through canonical_map, lookup against the entity-bucketed
-        // canonical_edges layout, so a query by ANY alias surface form
-        // of a merged entity returns the merged component's edges (the
-        // reference's alias cross-product reachability,
-        // triplets.py:371-398 / retrieval.py:265-314). Base-edge
-        // fallbacks serve stores written before each index existed.
-        Some(if (io.exists(spark, "canonical_edge_entity_index"))
-          retrieval.relationshipSearchCanonical(
-            table("canonical_edge_entity_index"), canonicalMapOrEmpty(),
-            q, topK)
-        else if (io.exists(spark, "edge_entity_index"))
-          retrieval.relationshipSearchIndexed(
-            table("edge_entity_index"), q, topK)
-        else retrieval.relationshipSearch(table("edges"), q, topK))
-      else None
-    QueryResult(hits, triplets)
+    }
+    def triplets: DataFrame =
+      // DEFAULT: the canonical graph — query entities canonicalized
+      // through canonical_map, lookup against the entity-bucketed
+      // canonical_edges layout, so a query by ANY alias surface form
+      // of a merged entity returns the merged component's edges (the
+      // reference's alias cross-product reachability,
+      // triplets.py:371-398 / retrieval.py:265-314). Base-edge
+      // fallbacks serve stores written before each index existed.
+      if (tableExists("canonical_edge_entity_index"))
+        retrieval.relationshipSearchCanonical(
+          table("canonical_edge_entity_index"), canonicalMapOrEmpty(),
+          q, topK)
+      else if (tableExists("edge_entity_index"))
+        retrieval.relationshipSearchIndexed(
+          table("edge_entity_index"), q, topK)
+      else retrieval.relationshipSearch(table("edges"), q, topK)
+    new QueryResult(() => hits,
+      if (includeTriplets) Some(() => triplets) else None)
   }
 
   /** The store's canonical map (non-identity rows), or a typed empty
@@ -218,7 +252,7 @@ final class GraphRag(
     * lookup then degrades gracefully to identity canonicalization. */
   private def canonicalMapOrEmpty(): DataFrame = {
     import spark.implicits._
-    if (io.exists(spark, "canonical_map")) table("canonical_map")
+    if (tableExists("canonical_map")) table("canonical_map")
     else spark.emptyDataset[CanonicalMapping].toDF()
   }
 

@@ -212,9 +212,12 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
       finally out.close()
     }
     // holding the lease: heal any compaction a previous writer crashed
-    // mid-swap (its redo plan survives under <table>__tmpcompact/_plan)
-    reconcileCompactions(hfs)
-    try f finally { hfs.delete(lock, false); () }
+    // mid-swap (its redo plan survives under <table>__tmpcompact/_plan).
+    // Inside the try: a FAILED replay must still release the lease —
+    // the error is actionable (fix the FS, retry) and a permanently
+    // stuck lease would turn one failed rename into a denial of service.
+    try { reconcileCompactions(hfs); f }
+    finally { hfs.delete(lock, false); () }
   }
 
   /** Replay the redo plans of compactions that crashed mid-swap: a
@@ -257,13 +260,26 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
 
   /** Execute/replay a compaction redo plan. Idempotent per op: an `mv`
     * whose source is gone already ran (its rename is atomic — the file is
-    * at the destination); an `rm` whose target is gone already ran. */
-  private def executePlan(hfs: org.apache.hadoop.fs.FileSystem,
+    * at the destination); an `rm` whose target is gone already ran.
+    *
+    * `FileSystem.rename` reports failure by RETURNING FALSE as well as by
+    * throwing; treating false as success would let the plan's later `rm`
+    * ops delete the sliver files — and the caller delete the tmp dir
+    * holding the staged merge — while the staged file never reached the
+    * live table: permanent silent row loss inside the crash-safety path.
+    * A false return is therefore FATAL: the exception leaves the plan and
+    * staged files on disk, and the next writer-lock acquisition replays
+    * the plan ([[reconcileCompactions]]). */
+  private[pipeline] def executePlan(hfs: org.apache.hadoop.fs.FileSystem,
       ops: Seq[(String, String, String)]): Unit =
     ops.foreach {
       case ("mv", src, dst) =>
         val sp = new org.apache.hadoop.fs.Path(src)
-        if (hfs.exists(sp)) { hfs.rename(sp, new org.apache.hadoop.fs.Path(dst)); () }
+        if (hfs.exists(sp) &&
+            !hfs.rename(sp, new org.apache.hadoop.fs.Path(dst)))
+          throw new java.io.IOException(
+            s"compaction redo plan: rename $src -> $dst returned false; " +
+              "plan and staged files left in place for the next reconcile")
       case ("rm", p, _) => hfs.delete(new org.apache.hadoop.fs.Path(p), false); ()
       case _ => ()
     }
@@ -294,8 +310,25 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
     val tmp = new org.apache.hadoop.fs.Path(root, s"_meta_$name.staged")
     val out = hfs.create(tmp, true)
     try out.write(value.getBytes("UTF-8")) finally out.close()
-    hfs.delete(metaPath(name), false)
-    hfs.rename(tmp, metaPath(name)); ()
+    // ATOMIC replace — a delete→rename pair has a window where the meta
+    // file is ABSENT, and a reader resolving num_buckets in that window
+    // on a populated store would fall back to the wrong bucket count and
+    // prune with wrong bucket ids. Local scheme: nio ATOMIC_MOVE (rename
+    // over the destination); other schemes: FileContext rename with
+    // Options.Rename.OVERWRITE (a single metadata op on HDFS).
+    val dst = metaPath(name)
+    val scheme = rootP.toUri.getScheme
+    if (scheme == null || scheme == "file")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    ()
   }
   override def getMeta(spark: SparkSession, name: String): Option[String] = {
     val hfs = fs(spark)
@@ -417,7 +450,7 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
     * reader listing files mid-write, the same single-writer caveat every
     * swap here carries (production: an Iceberg rewrite commit). */
   private def compactSlivers(spark: SparkSession, table: String,
-      partitionCols: Seq[String]): Unit = {
+      partitionCols: Seq[String], sortKeys: Seq[String] = Nil): Unit = {
     val hfs = fs(spark)
     // fully-qualified base: listed paths are scheme-qualified, so
     // relative paths must strip the QUALIFIED prefix or the staged-dir
@@ -439,11 +472,17 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
     val sliverFiles = over.flatMap(_._2).map(_.toString)
     val src = spark.read.option("basePath", qbase).parquet(sliverFiles: _*)
     // flat tables merge to ONE file (the whole point); partitioned ones
-    // cluster per dir as writeSwap does
+    // cluster per dir as writeSwap does. Merged output keeps the
+    // append path's sorted-by-key file invariant (see appendNew).
     val clustered =
       if (partitionCols.nonEmpty) src.repartition(partitionCols.map(col): _*)
       else src.coalesce(1)
-    val writer = clustered.write.mode(SaveMode.Overwrite)
+    val sorted =
+      if (sortKeys.nonEmpty)
+        clustered.sortWithinPartitions(
+          (partitionCols ++ sortKeys).distinct.map(col): _*)
+      else clustered
+    val writer = sorted.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(tmp)
     // redo plan: every mv/rm the swap will perform, committed durably
@@ -608,8 +647,18 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
 
   override def appendNew(spark: SparkSession, table: String, delta: DataFrame,
       keys: Seq[String], partitionCols: Seq[String] = Nil): Unit = {
-    val d = delta.dropDuplicates(keys)
-    if (!exists(spark, table)) { writeSwap(spark, table, d, partitionCols); return }
+    val d0 = delta.dropDuplicates(keys)
+    if (!exists(spark, table)) { writeSwap(spark, table, d0, partitionCols); return }
+    // the delta plan is consumed up to three times below (touched-
+    // partition probe, anti-join, write) — pin it so an expensive
+    // upstream executes once (same regime as merge)
+    val d = d0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try appendNewPinned(spark, table, d, delta, keys, partitionCols)
+    finally { d.unpersist(blocking = false); () }
+  }
+
+  private def appendNewPinned(spark: SparkSession, table: String, d: DataFrame,
+      delta: DataFrame, keys: Seq[String], partitionCols: Seq[String]): Unit = {
     // layout/column-set guard: appending current-engine files into a
     // table laid down by an older engine version (different partition
     // tree, missing columns) would mix incompatible files in one
@@ -623,9 +672,32 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
     // new keys only (anti-join against the existing key projection —
     // column-pruned scan), appended as fresh part files; Spark's commit
     // protocol stages them in _temporary until the job commits, so a
-    // crashed append leaves no partial rows and a retry is idempotent
-    val newRows = d.join(read(spark, table).select(keys.map(col): _*),
-      keys, "left_anti")
+    // crashed append leaves no partial rows and a retry is idempotent.
+    //
+    // The table side PARTITION-PRUNES to the delta's touched partitions:
+    // appendNew's contract (rows are pure functions of their keys) makes
+    // every partition column a function of the key too, so a delta key
+    // can only collide with existing rows inside its own partition dirs —
+    // restricting the scan per partition column to the delta's distinct
+    // values (a per-column superset of the exact touched set, so every
+    // possible collision survives) is exact, and turns the anti-join's
+    // per-batch read from O(table keys) into O(touched partitions'
+    // keys). At 100 TB with sub-bucket batches this is the difference
+    // between a full key-column scan per batch and reading only the
+    // directories the batch lands in; the literal cap keeps a
+    // wide-spread delta (every partition touched — no pruning possible)
+    // from planning thousands of useless IN literals.
+    val tableSide = {
+      val base = read(spark, table).select(
+        (keys ++ partitionCols).distinct.map(col): _*)
+      val pruned = partitionCols.foldLeft(base) { (df, pc) =>
+        val vals = d.select(col(pc)).distinct().limit(513).collect()
+          .map(_.get(0))
+        if (vals.length > 512) df else df.filter(col(pc).isin(vals: _*))
+      }
+      pruned.select(keys.map(col): _*)
+    }
+    val newRows = d.join(tableSide, keys, "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // a no-op replay (all keys already present — crash retry, streaming
@@ -636,12 +708,21 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
       if (!newRows.isEmpty) {
         // partitioned appends cluster on the partition cols first — one
         // new file per touched partition dir per batch, not one sliver
-        // per shuffle task per dir
+        // per shuffle task per dir. Rows are SORTED BY KEY within each
+        // write task (partition cols lead the sort so FileFormatWriter's
+        // required partition ordering is already satisfied — otherwise it
+        // would insert its own partition-col sort and destroy the key
+        // order): every appended file then carries monotone key runs, so
+        // parquet row-group min/max statistics can skip groups under
+        // key-range predicates (the file-level key skipping a 100 TB
+        // store needs; Iceberg gets the same from sorted writes + blooms).
+        val sortCols = (partitionCols ++ keys).distinct.map(col)
         val out =
           if (partitionCols.nonEmpty)
             newRows.repartition(partitionCols.map(col): _*)
+              .sortWithinPartitions(sortCols: _*)
               .write.partitionBy(partitionCols: _*)
-          else newRows.write
+          else newRows.sortWithinPartitions(sortCols: _*).write
         out.mode(SaveMode.Append).parquet(path(table))
         // keep the layout listing-healthy: partitioned appends grow one
         // file per touched dir per batch, flat appends one per shuffle
@@ -651,7 +732,7 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
         // horizons instead of growing until every listing consumer
         // (query planning, snapshotFp, footer stats) crawls thousands
         // of files (production: Iceberg rewrite_data_files).
-        compactSlivers(spark, table, partitionCols)
+        compactSlivers(spark, table, partitionCols, sortKeys = keys)
       }
     } finally { newRows.unpersist(blocking = false); () }
   }

@@ -77,7 +77,18 @@ object Pipeline {
     * re-reading after the stamp and pins [[NumBuckets]]. */
   def resolveNumBuckets(spark: org.apache.spark.sql.SparkSession,
       io: GraphTableIO, config: GraftConfig): Int =
-    io.getMeta(spark, "num_buckets").map(_.trim.toInt).getOrElse(
+    io.getMeta(spark, "num_buckets").map { v =>
+      // fail LOUDLY on a corrupt stamp — a silent fallback would resolve
+      // a different count than the writer used and mix bucket layouts
+      try v.trim.toInt
+      catch { case e: NumberFormatException =>
+        throw new IllegalStateException(
+          s"corrupt num_buckets layout metadata ('${v.trim}') — refusing " +
+            "to guess a bucket count: a wrong fallback would prune with " +
+            "bucket ids the store was not written under. Restore or " +
+            "remove the _meta_num_buckets sidecar to recover.", e)
+      }
+    }.getOrElse(
       // rowCount distinguishes a pre-knob store (rows laid down at 32)
       // from a RESET one (tables exist but empty — any count is
       // consistent with zero rows, so the knob may apply). Metadata-only
