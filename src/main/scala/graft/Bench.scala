@@ -27,6 +27,12 @@ import org.apache.spark.sql.SparkSession
   *    is kept WHOLE — one internally consistent measurement, never a
   *    per-key best-of-both composite. Both totals, the tripped keys and
   *    the kept window are published under `"window_guard"`.
+  *  - VM-epoch calibration: two fixed single-threaded workloads (2M MD5
+  *    digests, 200 MB file write+read) published under `"calibration"` —
+  *    cross-SESSION absolute-latency comparisons are dominated by the
+  *    sandbox VM's epoch (round 7 measured the same binary 2-3× apart
+  *    across sessions with tight iterations), and the calibration gives
+  *    readers a normalization denominator.
   *  - One-time store builds (`kg_ingest_250k_store`) stay single-shot
   *    per window (building a second store per window just to median it
   *    would double the bench for its least noise-prone key — it is
@@ -73,6 +79,45 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+    // VM-EPOCH CALIBRATION, published with every result: round 7 found
+    // the same binary measuring the same store 2-3× apart across
+    // sandbox sessions with TIGHT iterations — steal-burst heuristics
+    // cannot catch a whole-VM slowdown. Two fixed single-threaded
+    // workloads (2M MD5 digests; 200 MB buffered file write+read in the
+    // bench's tmp dir) give any cross-round reader a normalization
+    // denominator. Median of 3 each.
+    val calibration: (Double, Double) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var sink = 0L
+      def cpuOnce(): Double = time {
+        var i = 0
+        while (i < 2000000) {
+          sink ^= md.digest(java.nio.ByteBuffer.allocate(8)
+            .putLong(i.toLong).array())(0)
+          i += 1
+        }
+      }
+      def ioOnce(): Double = {
+        val f = java.nio.file.Files.createTempFile("graft_cal", ".bin")
+        val buf = new Array[Byte](1 << 20)
+        java.util.Arrays.fill(buf, 0x5a.toByte)
+        val sec = time {
+          val out = java.nio.file.Files.newOutputStream(f)
+          try (0 until 200).foreach(_ => out.write(buf)) finally out.close()
+          val in = java.nio.file.Files.newInputStream(f)
+          val rb = new Array[Byte](1 << 20)
+          try { var n = 0; while ({ n = in.read(rb); n > 0 }) sink ^= rb(0) }
+          finally in.close()
+        }
+        java.nio.file.Files.delete(f)
+        sec
+      }
+      val c = med((1 to 3).map(_ => cpuOnce()))
+      val i = med((1 to 3).map(_ => ioOnce()))
+      if (sink == Long.MinValue) System.err.println("") // keep sink live
+      (c, i)
+    }
 
     // input corpora prepared ONCE, outside every timed span
     val corpus = SparkEntry.syntheticCorpus(spark, sfDir).cache()
@@ -312,6 +357,8 @@ object Bench {
         s""""kg_exec_files_per_sec":${f"$execFilesPerSec%.1f"},""" +
         s""""kg_files_per_sec_sf_plan_bound":${f"$filesPerSecSf%.1f"},""" +
         s""""iters":$itersJson,""" +
+        s""""calibration":{"md5_2m_sec":${f"${calibration._1}%.3f"},""" +
+        s""""file_200mb_rw_sec":${f"${calibration._2}%.3f"}},""" +
         s""""window_guard":$windowGuardJson,""" +
         s""""total_excludes":["kg_ingest_250k_store"],""" +
         s""""renamed_keys":{"kg_query_big_hybrid_exact":"kg_query_big_warm_hybrid_exact",""" +
