@@ -486,6 +486,7 @@ final class Pipeline(
         .agg(count(lit(1)).as("tf"))
         .withColumn("tbucket", pmod(hash(col("text")), lit(nb))),
       Seq("chunkId", "text", "termType"), Seq("tbucket"))
+    val edgesPreexisted = io.exists(spark, "edges")
     io.merge(spark, "edges", edgesPart, Seq("subj", "pred", "obj"), Seq("pbucket"))
     // entity-bucketed SECONDARY edge layout: one row per (entity ∈ {subj,
     // obj}, edge), partitioned by entity hash bucket, so the per-entity
@@ -493,10 +494,26 @@ final class Pipeline(
     // a scan) partition-prunes instead of scanning every edge — the
     // pred-hash primary layout prunes nothing for a by-entity filter.
     // Edges are immutable keyed rows, so exploding only the DELTA keeps
-    // the index complete under MERGE accumulation.
-    io.merge(spark, "edge_entity_index",
-      Pipeline.entityIndexRows(r.edges.toDF(), nb),
-      Seq("entity", "subj", "pred", "obj"), Seq("ebucket"))
+    // the index complete under MERGE accumulation — valid only while
+    // every prior batch did the same. Two cases where the stored index
+    // cannot be trusted to cover the merged edge set, healed by one
+    // wholesale rebuild from the just-merged table (the band-index
+    // re-sign pattern above): a legacy store whose edges predate the
+    // index, and a predecessor that died between its edges merge and its
+    // index merge (batch_inflight still set — the retry contract re-runs
+    // the batch, but an operator that skips it instead must not leave
+    // invisible edges). The index's completeness is CANONICAL-state-
+    // bearing, not just query-bearing: delta compaction's affected-edge
+    // pass reads it instead of scanning every base edge.
+    if ((edgesPreexisted && !io.exists(spark, "edge_entity_index")) ||
+        priorIncomplete)
+      io.overwrite(spark, "edge_entity_index",
+        Pipeline.entityIndexRows(io.read(spark, "edges"), nb),
+        Seq("ebucket"))
+    else
+      io.merge(spark, "edge_entity_index",
+        Pipeline.entityIndexRows(r.edges.toDF(), nb),
+        Seq("entity", "subj", "pred", "obj"), Seq("ebucket"))
     // canonical rows are NEVER merged from the batch-local map on
     // incremental batches: the batch's linking runs over its own alias
     // universe, and universe growth can EVICT pairs (top-K per probe,
@@ -740,12 +757,16 @@ final class Pipeline(
     * vertices.canonicalName == canonical_map image — the same state the
     * full rebuild produces, maintained bucket-wise by induction.
     *
-    * Cost: two broadcast-join map-only passes over the base edge table
-    * (no shuffle) + a shuffle/write of ONLY the affected partition subset
-    * — vs the full rebuild's global shuffle + full-table rewrite; the
-    * write volume is bounded by the batch size plus the merged
-    * components' reach. Equivalence with [[compact]] is asserted
-    * table-for-table in CompactionSuite (broadcast and salted configs). */
+    * Cost: two broadcast-join map-only passes, each PARTITION-PRUNED to
+    * the buckets the batch's names / affected buckets reach (pass 1 reads
+    * the affected names' pred buckets of `edges` plus their entity
+    * buckets of `edge_entity_index`; pass 2 reads the affected buckets
+    * plus the raw-pred buckets mapping into them) + a shuffle/write of
+    * ONLY the affected partition subset — vs the full rebuild's global
+    * shuffle + full-table rewrite; both read and write volume are bounded
+    * by the batch size plus the merged components' reach, never the
+    * store. Equivalence with [[compact]] is asserted table-for-table in
+    * CompactionSuite (broadcast and salted configs). */
   private def compactDelta(spark: SparkSession, io: GraphTableIO,
       batchEdges: Dataset[RelatesToEdge],
       batchAliases: Dataset[AliasPair],
@@ -787,27 +808,61 @@ final class Pipeline(
       .distinct()
       .localCheckpoint()
     if (!affectedNames.isEmpty) {
-      val base = io.read(spark, "edges")
-        .select("subj", "pred", "obj", "label", "sourceChunkId")
       val mark = hinted(affectedNames)
-      // map-only pass 1: base edges touching any affected name
-      def touched(c: String) = col(s"t_$c").isNotNull
-      val affected = Seq("subj", "pred", "obj").foldLeft(base) { (df, c) =>
-        df.join(mark.select($"name".as(c), lit(1).as(s"t_$c")), Seq(c), "left")
-      }.filter(touched("subj") || touched("pred") || touched("obj"))
+      // every name-hash bucket an affected name lands in — ONE driver-side
+      // fold serving three pruned reads below, because pbucket / ebucket /
+      // nbucket all share the pmod(hash(name), nb) definition
+      val nameBuckets = affectedNames
+        .select(pmod(hash($"name"), lit(nb)).as("b"))
+        .distinct().as[Int].collect().toSeq
+      // pass 1, PARTITION-PRUNED (was a full base-edge scan): this pass
+      // only ever feeds the affected-PRED set, and an edge can touch an
+      // affected name two ways — in pred position (then the edge lives in
+      // pbucket(pred) ∈ nameBuckets of the pred-bucketed primary layout)
+      // or in subj/obj position (then edge_entity_index holds a row for
+      // it at ebucket(name) ∈ nameBuckets; the index is complete w.r.t.
+      // the merged edges by the heal at the merge site). Both legs read
+      // only the affected names' buckets, so the per-batch read scales
+      // with the batch's reach, not the store — this was the last
+      // O(store) read leg the round-7 BatchReadProbe attribution
+      // isolated.
+      val predLeg = io.read(spark, "edges")
+        .filter($"pbucket".isin(nameBuckets: _*))
+        .join(mark.select($"name".as("pred")), Seq("pred"), "left_semi")
+        .select($"pred")
+      val entityLeg = io.read(spark, "edge_entity_index")
+        .filter($"ebucket".isin(nameBuckets: _*))
+        .join(mark.select($"name".as("entity")), Seq("entity"), "left_semi")
+        .select($"pred")
+      val affectedPreds = predLeg.unionByName(entityLeg).distinct()
       // affected target partitions: old AND new canonical images of the
       // affected predicates decide where stale rows live / new rows land
       val oldMapP = hinted(oldCC.select($"name".as("pred"), $"canonicalName".as("oc")))
       val newMapP = hinted(newCC.select($"name".as("pred"), $"canonicalName".as("nc")))
-      val buckets = affected.select($"pred")
+      val buckets = affectedPreds
         .join(oldMapP, Seq("pred"), "left").join(newMapP, Seq("pred"), "left")
         .select(explode(array(
           pmod(hash(coalesce($"oc", $"pred")), lit(nb)),
           pmod(hash(coalesce($"nc", $"pred")), lit(nb)))).as("b"))
         .distinct().as[Int].collect().toSeq // ≤ NumBuckets values
-      // map-only pass 2: EVERY base edge whose new canonical pred lands in
-      // an affected bucket (rebuild source — regenerates surviving rows)
-      val rebuildSource = base.join(newMapP, Seq("pred"), "left")
+      // pass 2, PARTITION-PRUNED (was a full base-edge scan): every base
+      // edge whose NEW canonical pred lands in an affected bucket is the
+      // rebuild source. Such an edge's RAW pred either has no map row
+      // (canonical == raw, so its primary partition is itself an affected
+      // bucket) or maps through newCC — and the raw-pred buckets of the
+      // map rows whose canonical image hashes into `buckets` are another
+      // ≤ NumBuckets-value aggregate over the pinned map. The
+      // canonical-bucket filter below is unchanged, so the pruning can
+      // only remove rows that filter would drop anyway.
+      val mappedRaw = newCC
+        .filter(pmod(hash($"canonicalName"), lit(nb)).isin(buckets: _*))
+        .select(pmod(hash($"name"), lit(nb)).as("b"))
+        .distinct().as[Int].collect().toSeq
+      val readBuckets = (buckets ++ mappedRaw).distinct
+      val rebuildSource = io.read(spark, "edges")
+        .filter($"pbucket".isin(readBuckets: _*))
+        .select("subj", "pred", "obj", "label", "sourceChunkId")
+        .join(newMapP, Seq("pred"), "left")
         .filter(pmod(hash(coalesce($"nc", $"pred")), lit(nb))
           .isin(buckets: _*))
         .drop("nc").as[RelatesToEdge]
@@ -879,9 +934,7 @@ final class Pipeline(
       // vertex pointer refresh: only partitions holding an affected name;
       // EVERY row in them gets its pointer regenerated from the new map
       // (idempotent for unaffected rows — their image is unchanged there)
-      val nbuckets = affectedNames
-        .select(pmod(hash($"name"), lit(nb)).as("b"))
-        .distinct().as[Int].collect().toSeq
+      val nbuckets = nameBuckets // nbucket shares the name-hash definition
       val refreshed = io.read(spark, "vertices")
         .filter($"nbucket".isin(nbuckets: _*)) // partition-pruned read
         .drop("canonicalName")

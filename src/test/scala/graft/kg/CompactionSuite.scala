@@ -764,4 +764,57 @@ class CompactionSuite extends AnyFunSuite {
     assert(io.snapshotFp(spark, "t") != before)
     assert(io.read(spark, "t").count() == 4)
   }
+
+  // edge_entity_index completeness is canonical-state-bearing: delta
+  // compaction's affected-edge pass reads the index instead of scanning
+  // every base edge, so an index missing rows would silently skip
+  // canonical partitions. The merge site heals the two untrustworthy
+  // shapes with a wholesale rebuild.
+  private def indexMatchesEdges(io: ParquetTableIO): Unit = {
+    val expected = Pipeline.entityIndexRows(io.read(spark, "edges")
+      .select("subj", "pred", "obj", "label", "sourceChunkId"))
+    val exp = expected.selectExpr(
+      expected.columns.sorted.toSeq.map(c => s"cast(`$c` as string)"): _*)
+      .collect().map(_.mkString("|")).toSet
+    assert(state(io, "edge_entity_index") == exp,
+      "edge_entity_index != entityIndexRows(edges)")
+  }
+
+  test("a legacy store without edge_entity_index gets a full backfill") {
+    val s = spark; import s.implicits._
+    val cfg = GraftConfig(linkMode = "lsh", linkThreshold = 0.7)
+    val root = java.nio.file.Files.createTempDirectory("graftidxleg").toString
+    val io = new ParquetTableIO(root)
+    new Pipeline(cfg).materialize(spark.createDataset(batches(0)), io)
+    // simulate a store written before the index existed
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/edge_entity_index"), true)
+    new Pipeline(cfg).materialize(spark.createDataset(batches(1)), io)
+    // a delta-only merge would cover only batch 2's edges; the heal
+    // rebuilds from the cumulative merged table
+    indexMatchesEdges(io)
+  }
+
+  test("a crashed predecessor's missing index rows are healed wholesale") {
+    val s = spark; import s.implicits._
+    val cfg = GraftConfig(linkMode = "lsh", linkThreshold = 0.7)
+    val root = java.nio.file.Files.createTempDirectory("graftidxcrash").toString
+    val io = new ParquetTableIO(root)
+    new Pipeline(cfg).materialize(spark.createDataset(batches(0)), io)
+    new Pipeline(cfg).materialize(spark.createDataset(batches(1)), io)
+    // shape of a predecessor that died between its edges merge and its
+    // index merge: some index rows absent, batch_inflight still set.
+    // The NEXT batch is different data (an operator skipping the retry
+    // contract) — the heal must not depend on a replay.
+    val idxDirs = new java.io.File(s"$root/edge_entity_index").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ebucket="))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idxDirs.head.getPath), true)
+    io.setFlag(spark, "batch_inflight")
+    new Pipeline(cfg).materialize(spark.createDataset(batches(2)), io)
+    assert(!io.flagSet(spark, "batch_inflight"), "marker not cleared")
+    indexMatchesEdges(io)
+  }
 }
