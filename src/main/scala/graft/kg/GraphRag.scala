@@ -298,7 +298,7 @@ final class GraphRag(
     * sliver-heavy store (graft.tools.StatsProbe). */
   def stats(): Map[String, Long] =
     Seq("chunks", "chunk_embeddings", "chunk_vec_index", "chunk_vec_meta",
-      "terms", "edges", "edge_entity_index", "canonical_edges",
+      "terms", "edges", "edge_entity_index", "pred_index", "canonical_edges",
       "canonical_edge_entity_index", "vertices", "aliases", "lsh_band_index")
       .filter(io.exists(spark, _))
       .map(t => t -> io.rowCount(spark, t)).toMap
@@ -310,7 +310,7 @@ final class GraphRag(
   def reset(): Unit = {
     dropCaches()
     Seq("chunks", "chunk_embeddings", "chunk_vec_index", "chunk_vec_meta",
-      "terms", "edges", "edge_entity_index", "canonical_edges",
+      "terms", "edges", "edge_entity_index", "pred_index", "canonical_edges",
       "canonical_edge_entity_index", "canonical_map", "vertices", "aliases",
       "lsh_band_index").foreach { t =>
       if (io.exists(spark, t)) {

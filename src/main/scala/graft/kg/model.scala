@@ -133,7 +133,7 @@ final case class GraftConfig(
       * path). See [[graft.kg.pipeline.Pipeline]]`.compactDelta`. */
     fullCompaction: Boolean = false,
     /** Partition-bucket count for the hash-bucketed table layouts
-      * (pbucket/ebucket/nbucket/cbucket/tbucket — Iceberg
+      * (sbucket/ebucket/nbucket/cbucket/tbucket/pibucket — Iceberg
       * `bucket(N, col)` analogue). Applied when a store is CREATED and
       * persisted in its `num_buckets` layout metadata; an existing
       * store's persisted count always wins over this knob (readers and

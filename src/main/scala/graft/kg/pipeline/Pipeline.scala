@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * final MERGE-key dedups.
   */
 object Pipeline {
-  /** Hash-bucket count of the physical table layouts (pbucket/nbucket/
+  /** Hash-bucket count of the physical table layouts (sbucket/nbucket/
     * ebucket — Iceberg `bucket(N, col)` analogue, SURVEY.md §4.4). Shared
     * with the query side so entity-bucket pruning computes the same
     * bucket ids the writer laid down. */
@@ -43,8 +43,8 @@ object Pipeline {
       .withColumn("ebucket", pmod(hash(col("entity")), lit(numBuckets)))
 
   /** [[entityIndexRows]] plus each row's SOURCE-edge primary-layout
-    * bucket (`pbucket = hash(pred)`) — the canonical index carries it so
-    * delta compaction can drop a rebuilt pbucket's index rows with a
+    * bucket (`sbucket = hash(subj)`) — the canonical index carries it so
+    * delta compaction can drop a rebuilt sbucket's index rows with a
     * partition-pruned FILTER and re-derive them from the rebuilt content,
     * instead of set-differencing the old vs new bucket content (two
     * shuffles over O(bucket) rows per batch, measured dominant in the
@@ -52,7 +52,7 @@ object Pipeline {
   def canonicalIndexRows(edges: org.apache.spark.sql.DataFrame,
       numBuckets: Int = NumBuckets): org.apache.spark.sql.DataFrame =
     entityIndexRows(edges, numBuckets)
-      .withColumn("pbucket", pmod(hash(col("pred")), lit(numBuckets)))
+      .withColumn("sbucket", pmod(hash(col("subj")), lit(numBuckets)))
 
   /** canonical_map rows under the name-hash-bucketed layout (`cbucket`):
     * the query side canonicalizes its few surface-form entities with a
@@ -374,11 +374,20 @@ final class Pipeline(
     // + the delta compaction's CC seed) — without the pin the second
     // consumption re-executes the LSH linking join
     val pinnedAliases = pin(r.aliases)
-    // physical layout (SURVEY.md §4.4): edges bucketed by pred hash,
+    // physical layout (SURVEY.md §4.4): edges bucketed by SUBJECT hash,
     // vertices by name hash — partition-parallel MERGE and pruning;
-    // production = Iceberg bucket(N, col) transforms
+    // production = Iceberg bucket(N, col) transforms. The subject is the
+    // one diverse axis an edge has: predicates come from a closed
+    // relation lexicon (~10 distinct values), so a pred-hash layout
+    // (rounds 4-6) concentrated the whole table into ~|lexicon| dirs and
+    // EVERY batch touched every one of them — the round-7 BatchReadProbe
+    // measured the bucket-selective merge rewriting the full edges table
+    // (3.25 of 3.27 MB) and delta compaction rebuilding the full
+    // canonical pair (12.3 of 12.3 MB) on a 40-doc batch. Subject-hash
+    // buckets spread with the entity universe, so touched buckets scale
+    // with the batch.
     val edgesPart = r.edges.toDF()
-      .withColumn("pbucket", pmod(hash(col("pred")), lit(nb)))
+      .withColumn("sbucket", pmod(hash(col("subj")), lit(nb)))
     val verticesPart = r.vertices.toDF()
       .withColumn("nbucket", pmod(hash(col("name")), lit(nb)))
     // chunks / embeddings / terms / the steady-state vec index hold rows
@@ -487,7 +496,39 @@ final class Pipeline(
         .withColumn("tbucket", pmod(hash(col("text")), lit(nb))),
       Seq("chunkId", "text", "termType"), Seq("tbucket"))
     val edgesPreexisted = io.exists(spark, "edges")
-    io.merge(spark, "edges", edgesPart, Seq("subj", "pred", "obj"), Seq("pbucket"))
+    // one-time layout migration: a store written under the pred-hash
+    // era carries pbucket dirs — re-lay it under sbucket once (merge's
+    // schema-evolution fallback would null-fill the new partition column
+    // instead, stranding old rows in a default partition)
+    if (edgesPreexisted &&
+        !io.read(spark, "edges").columns.contains("sbucket"))
+      io.overwrite(spark, "edges",
+        io.read(spark, "edges")
+          .select("subj", "pred", "obj", "label", "sourceChunkId")
+          .withColumn("sbucket", pmod(hash(col("subj")), lit(nb))),
+        Seq("sbucket"))
+    io.merge(spark, "edges", edgesPart, Seq("subj", "pred", "obj"), Seq("sbucket"))
+    // pred → subject-bucket registry: one row per DISTINCT (pred,
+    // sbucket) pair ever stored — O(|pred lexicon| × touched buckets)
+    // rows, pure functions of the edge set, append-only. Delta
+    // compaction's discovery pass locates edges whose PREDICATE is a
+    // changed name through this registry (the subject-hash layout and
+    // the subj/obj entity index cannot prune a by-pred probe); without
+    // it a changed name that occurs as a predicate would force a full
+    // edge scan. pibucket partitions the registry by pred hash so the
+    // probe prunes to the changed names' buckets.
+    if ((edgesPreexisted && !io.exists(spark, "pred_index")) ||
+        priorIncomplete)
+      io.overwrite(spark, "pred_index",
+        io.read(spark, "edges").select(col("pred"), col("sbucket"))
+          .distinct()
+          .withColumn("pibucket", pmod(hash(col("pred")), lit(nb))),
+        Seq("pibucket"))
+    else
+      io.appendNew(spark, "pred_index",
+        edgesPart.select(col("pred"), col("sbucket")).distinct()
+          .withColumn("pibucket", pmod(hash(col("pred")), lit(nb))),
+        Seq("pred", "sbucket"), Seq("pibucket"))
     // entity-bucketed SECONDARY edge layout: one row per (entity ∈ {subj,
     // obj}, edge), partitioned by entity hash bucket, so the per-entity
     // relationship lookup (retrieval.py:265-314 is an indexed lookup, not
@@ -543,9 +584,9 @@ final class Pipeline(
     val identityMode = config.linkMode == "exact"
     if (freshFastPath && !identityMode) {
       val canonEdgesPart = r.canonicalEdges.toDF()
-        .withColumn("pbucket", pmod(hash(col("pred")), lit(nb)))
+        .withColumn("sbucket", pmod(hash(col("subj")), lit(nb)))
       io.merge(spark, "canonical_edges", canonEdgesPart,
-        Seq("subj", "pred", "obj"), Seq("pbucket"))
+        Seq("subj", "pred", "obj"), Seq("sbucket"))
       // the QUERY-side layout of the canonical graph: the facade's
       // triplet lookup canonicalizes its entities and partition-prunes
       // this index — without it the linking/CC/compaction output would
@@ -636,7 +677,7 @@ final class Pipeline(
     if (pinnedAliases) r.aliases.unpersist(blocking = false)
     r.cleanup()
     val tableCounts = Seq("chunks", "chunk_embeddings", "chunk_vec_index",
-      "terms", "edges", "edge_entity_index", "canonical_edges",
+      "terms", "edges", "edge_entity_index", "pred_index", "canonical_edges",
       "canonical_edge_entity_index", "vertices", "aliases", "lsh_band_index")
       .filter(io.exists(spark, _)) // lsh_band_index is lsh-mode-only
       // metadata-only counts (parquet footer sums — the Iceberg manifest
@@ -688,8 +729,8 @@ final class Pipeline(
       broadcastCC = !config.saltedCanonicalJoin)
     val compacted = Materialize
       .canonicalEdges(baseEdges, canonAll, salted = config.saltedCanonicalJoin)
-      .toDF().withColumn("pbucket", pmod(hash(col("pred")), lit(nb)))
-    io.overwrite(spark, "canonical_edges", compacted, Seq("pbucket"))
+      .toDF().withColumn("sbucket", pmod(hash(col("subj")), lit(nb)))
+    io.overwrite(spark, "canonical_edges", compacted, Seq("sbucket"))
     // the entity-bucketed query layout of the canonical graph is derived
     // state of canonical_edges — rebuilt wholesale with it (reading the
     // just-swapped table back, so the CC solve above is not re-executed)
@@ -738,15 +779,21 @@ final class Pipeline(
     *     may disagree with the cumulative map at names the diff never
     *     flags. All canonical state is derived HERE, from cumulative
     *     base edges + cumulative map.
-    *  2. Affected canonical-edge PARTITIONS = pbuckets of the old and new
-    *     canonical predicate images of base edges touching an affected
-    *     name. Those buckets are rebuilt exactly (from every base edge
-    *     whose new canonical pred lands there — affected or not, so
-    *     surviving rows are regenerated, stale images vanish, and
-    *     cross-bucket moves land) and swapped in via
-    *     [[GraphTableIO.overwritePartitions]]; every other partition is
-    *     untouched on storage — sound because an untouched bucket's edges
-    *     have no affected name, hence identical images under both maps.
+    *  2. Affected canonical-edge PARTITIONS = sbuckets (canonical-SUBJECT
+    *     hash — the diverse axis; the pred lexicon is closed and would
+    *     degenerate to every-bucket-every-batch) of the old and new
+    *     canonical subject images of (a) the batch's edges (subjects in
+    *     hand — no scan), (b) prior edges touching a CHANGED name in
+    *     subj/obj position (entity-bucket-pruned edge_entity_index), and
+    *     (c) prior edges whose predicate is a changed name (pred_index
+    *     registry → their subject buckets). Those buckets are rebuilt
+    *     exactly (from every base edge whose new canonical subj lands
+    *     there — affected or not, so surviving rows are regenerated,
+    *     stale images vanish, and cross-bucket moves land) and swapped in
+    *     via [[GraphTableIO.overwritePartitions]]; every other partition
+    *     is untouched on storage — sound because an untouched bucket's
+    *     content is the canonical image of edges none of whose names
+    *     changed mapping, hence identical under both maps.
     *  3. Affected vertex partitions = nbuckets of the affected names;
     *     only those rewrite, with EVERY row's canonicalName pointer
     *     regenerated from the new map (the batch's vertex merge wrote
@@ -757,16 +804,17 @@ final class Pipeline(
     * vertices.canonicalName == canonical_map image — the same state the
     * full rebuild produces, maintained bucket-wise by induction.
     *
-    * Cost: two broadcast-join map-only passes, each PARTITION-PRUNED to
-    * the buckets the batch's names / affected buckets reach (pass 1 reads
-    * the affected names' pred buckets of `edges` plus their entity
-    * buckets of `edge_entity_index`; pass 2 reads the affected buckets
-    * plus the raw-pred buckets mapping into them) + a shuffle/write of
-    * ONLY the affected partition subset — vs the full rebuild's global
-    * shuffle + full-table rewrite; both read and write volume are bounded
-    * by the batch size plus the merged components' reach, never the
-    * store. Equivalence with [[compact]] is asserted table-for-table in
-    * CompactionSuite (broadcast and salted configs). */
+    * Cost: broadcast-join map-only passes, each PARTITION-PRUNED to the
+    * buckets the batch's names / the map diff reach (discovery reads the
+    * changed names' entity buckets of `edge_entity_index`, their
+    * pred_index buckets, and the pred-hit subject buckets of `edges`;
+    * the rebuild reads the affected buckets plus the raw-subject buckets
+    * mapping into them) + a shuffle/write of ONLY the affected partition
+    * subset — vs the full rebuild's global shuffle + full-table rewrite;
+    * both read and write volume are bounded by the batch size plus the
+    * merged components' reach, never the store. Equivalence with
+    * [[compact]] is asserted table-for-table in CompactionSuite
+    * (broadcast and salted configs). */
   private def compactDelta(spark: SparkSession, io: GraphTableIO,
       batchEdges: Dataset[RelatesToEdge],
       batchAliases: Dataset[AliasPair],
@@ -775,11 +823,18 @@ final class Pipeline(
     // no stored canonical map (a store written before the table existed):
     // the delta path cannot locate prior batches' STALE rows — their
     // partitions are derived from the OLD canonical image of each
-    // affected predicate, and without the old map that image is
+    // affected subject, and without the old map that image is
     // unknowable (approximating it with the raw name misses rows whose
     // old canonical was a different name hashing to a different bucket).
     // Recover with one full rebuild, which also seeds canonical_map.
-    if (!io.exists(spark, "canonical_map")) { compact(spark, io, nb); return }
+    // Same one-full-rebuild recovery for a canonical table laid down by
+    // the pred-hash era (pre-sbucket): its partitions are not addressable
+    // under the subject-hash discovery below; compact() re-lays it.
+    if (!io.exists(spark, "canonical_map") ||
+        (io.exists(spark, "canonical_edges") &&
+          !io.read(spark, "canonical_edges").columns.contains("sbucket"))) {
+      compact(spark, io, nb); return
+    }
     // join-strategy governance: ALL the map-side (and batch-derived-set)
     // joins below broadcast by default; under saltedCanonicalJoin — the
     // regime where the linked-name set outgrows executor memory — every
@@ -808,62 +863,92 @@ final class Pipeline(
       .distinct()
       .localCheckpoint()
     if (!affectedNames.isEmpty) {
-      val mark = hinted(affectedNames)
-      // every name-hash bucket an affected name lands in — ONE driver-side
-      // fold serving three pruned reads below, because pbucket / ebucket /
-      // nbucket all share the pmod(hash(name), nb) definition
-      val nameBuckets = affectedNames
+      // ---- affected-bucket discovery (canonical_edges is bucketed by
+      // CANONICAL-SUBJECT hash). A stored canonical row's location is
+      // hash(canonical image of its base edge's raw subj); its content is
+      // the full canonical image of the edge. The buckets needing a
+      // rebuild are the old+new subj-image buckets of every base edge
+      // whose canonical image can differ between the two maps or that
+      // the batch created:
+      //  a. the BATCH's edges — their canonical rows are produced by
+      //     this rebuild (the merge wrote only base rows), and a
+      //     re-merged pre-existing key may have a stale row at its OLD
+      //     subj-image bucket. Their subjects are in hand — no store
+      //     scan.
+      //  b. prior edges touching a CHANGED name in subj or obj position
+      //     — found in edge_entity_index pruned to the changed names'
+      //     entity buckets (the index is complete w.r.t. the merged
+      //     edges by the heal at the merge site).
+      //  c. prior edges whose PREDICATE is a changed name — the one
+      //     position neither the subject layout nor the entity index
+      //     covers; located through the tiny pred_index registry
+      //     (pred → sbuckets holding it), pruned by the changed names'
+      //     pred-hash buckets.
+      // Every leg reads only buckets the batch's names / the map diff
+      // reach, so the per-batch read scales with the batch, not the
+      // store — under the pred-hash layout these passes were full-table
+      // scans AND selected every occupied bucket at the reference
+      // corpus's ~10-pred lexicon (round-7 BatchReadProbe: full
+      // canonical-pair rewrite every batch).
+      val changedNames = inc.changed.localCheckpoint()
+      val changedMark = hinted(changedNames)
+      val changedBuckets = changedNames
         .select(pmod(hash($"name"), lit(nb)).as("b"))
         .distinct().as[Int].collect().toSeq
-      // pass 1, PARTITION-PRUNED (was a full base-edge scan): this pass
-      // only ever feeds the affected-PRED set, and an edge can touch an
-      // affected name two ways — in pred position (then the edge lives in
-      // pbucket(pred) ∈ nameBuckets of the pred-bucketed primary layout)
-      // or in subj/obj position (then edge_entity_index holds a row for
-      // it at ebucket(name) ∈ nameBuckets; the index is complete w.r.t.
-      // the merged edges by the heal at the merge site). Both legs read
-      // only the affected names' buckets, so the per-batch read scales
-      // with the batch's reach, not the store — this was the last
-      // O(store) read leg the round-7 BatchReadProbe attribution
-      // isolated.
-      val predLeg = io.read(spark, "edges")
-        .filter($"pbucket".isin(nameBuckets: _*))
-        .join(mark.select($"name".as("pred")), Seq("pred"), "left_semi")
-        .select($"pred")
-      val entityLeg = io.read(spark, "edge_entity_index")
-        .filter($"ebucket".isin(nameBuckets: _*))
-        .join(mark.select($"name".as("entity")), Seq("entity"), "left_semi")
-        .select($"pred")
-      val affectedPreds = predLeg.unionByName(entityLeg).distinct()
+      val batchSubjs = batchEdges.toDF().select($"subj")
+      val entityLegSubjs =
+        if (changedBuckets.isEmpty) batchSubjs.limit(0)
+        else io.read(spark, "edge_entity_index")
+          .filter($"ebucket".isin(changedBuckets: _*))
+          .join(changedMark.select($"name".as("entity")),
+            Seq("entity"), "left_semi")
+          .select($"subj")
+      val predLegSubjs =
+        if (changedBuckets.isEmpty) batchSubjs.limit(0)
+        else {
+          val predSbuckets = io.read(spark, "pred_index")
+            .filter($"pibucket".isin(changedBuckets: _*))
+            .join(changedMark.select($"name".as("pred")),
+              Seq("pred"), "left_semi")
+            .select($"sbucket").distinct().as[Int].collect().toSeq
+          if (predSbuckets.isEmpty) batchSubjs.limit(0)
+          else io.read(spark, "edges")
+            .filter($"sbucket".isin(predSbuckets: _*))
+            .join(changedMark.select($"name".as("pred")),
+              Seq("pred"), "left_semi")
+            .select($"subj")
+        }
+      val discSubjs = batchSubjs.unionByName(entityLegSubjs)
+        .unionByName(predLegSubjs).distinct()
       // affected target partitions: old AND new canonical images of the
-      // affected predicates decide where stale rows live / new rows land
-      val oldMapP = hinted(oldCC.select($"name".as("pred"), $"canonicalName".as("oc")))
-      val newMapP = hinted(newCC.select($"name".as("pred"), $"canonicalName".as("nc")))
-      val buckets = affectedPreds
-        .join(oldMapP, Seq("pred"), "left").join(newMapP, Seq("pred"), "left")
+      // discovered subjects decide where stale rows live / new rows land
+      val oldMapS = hinted(oldCC.select($"name".as("subj"), $"canonicalName".as("oc")))
+      val newMapS = hinted(newCC.select($"name".as("subj"), $"canonicalName".as("nc")))
+      val buckets = discSubjs
+        .join(oldMapS, Seq("subj"), "left").join(newMapS, Seq("subj"), "left")
         .select(explode(array(
-          pmod(hash(coalesce($"oc", $"pred")), lit(nb)),
-          pmod(hash(coalesce($"nc", $"pred")), lit(nb)))).as("b"))
+          pmod(hash(coalesce($"oc", $"subj")), lit(nb)),
+          pmod(hash(coalesce($"nc", $"subj")), lit(nb)))).as("b"))
         .distinct().as[Int].collect().toSeq // ≤ NumBuckets values
-      // pass 2, PARTITION-PRUNED (was a full base-edge scan): every base
-      // edge whose NEW canonical pred lands in an affected bucket is the
-      // rebuild source. Such an edge's RAW pred either has no map row
-      // (canonical == raw, so its primary partition is itself an affected
-      // bucket) or maps through newCC — and the raw-pred buckets of the
-      // map rows whose canonical image hashes into `buckets` are another
-      // ≤ NumBuckets-value aggregate over the pinned map. The
-      // canonical-bucket filter below is unchanged, so the pruning can
-      // only remove rows that filter would drop anyway.
+      // rebuild source, PARTITION-PRUNED: every base edge whose NEW
+      // canonical subj lands in an affected bucket. Such an edge's RAW
+      // subj either has no map row (canonical == raw, so its primary
+      // partition is itself an affected bucket) or maps through newCC —
+      // and the raw-subj buckets of the map rows whose canonical image
+      // hashes into `buckets` are another ≤ NumBuckets-value aggregate
+      // over the pinned map. The canonical-bucket filter below keeps
+      // exactness; the pruning can only remove rows that filter would
+      // drop anyway.
       val mappedRaw = newCC
         .filter(pmod(hash($"canonicalName"), lit(nb)).isin(buckets: _*))
         .select(pmod(hash($"name"), lit(nb)).as("b"))
         .distinct().as[Int].collect().toSeq
       val readBuckets = (buckets ++ mappedRaw).distinct
       val rebuildSource = io.read(spark, "edges")
-        .filter($"pbucket".isin(readBuckets: _*))
+        .filter($"sbucket".isin(readBuckets: _*))
         .select("subj", "pred", "obj", "label", "sourceChunkId")
-        .join(newMapP, Seq("pred"), "left")
-        .filter(pmod(hash(coalesce($"nc", $"pred")), lit(nb))
+        .join(newMapS, Seq("subj"), "left")
+        .filter(pmod(hash(coalesce($"nc", $"subj")), lit(nb))
           .isin(buckets: _*))
         .drop("nc").as[RelatesToEdge]
       // identity-complete the map for exactly the rebuild subset's names
@@ -875,7 +960,7 @@ final class Pipeline(
         .select($"name", coalesce($"canonicalName", $"name").as("canonicalName"))
         .as[CanonicalMapping]
       // affected ebuckets, computed BEFORE the swap replaces the rebuilt
-      // dirs: every index row sourced from a rebuilt pbucket derives
+      // dirs: every index row sourced from a rebuilt sbucket derives
       // from an edge in those partitions' OLD content, so its ebucket is
       // one of the old content's entity buckets; the rebuild's new rows
       // land in newContent's entity buckets. Both are tiny map-side-
@@ -886,16 +971,16 @@ final class Pipeline(
         .select(pmod(hash($"e"), lit(nb)).as("b"))
         .distinct().as[Int].collect().toSeq
       val oldEbuckets = ebucketsOf(io.read(spark, "canonical_edges")
-        .filter($"pbucket".isin(buckets: _*))) // partition-pruned read
+        .filter($"sbucket".isin(buckets: _*))) // partition-pruned read
       val newContent = Materialize
         .canonicalEdges(rebuildSource, canonForRebuild,
           salted = config.saltedCanonicalJoin)
-        .toDF().withColumn("pbucket", pmod(hash($"pred"), lit(nb)))
+        .toDF().withColumn("sbucket", pmod(hash($"subj"), lit(nb)))
         .localCheckpoint() // pinned: consumed by the write AND the index
       io.overwritePartitions(spark, "canonical_edges", newContent,
-        "pbucket", buckets)
+        "sbucket", buckets)
       // canonical_edge_entity_index maintenance, DIFF-FREE: index rows
-      // carry their source edge's pbucket, so the rebuilt buckets' index
+      // carry their source edge's sbucket, so the rebuilt buckets' index
       // rows drop by a partition-pruned FILTER, their replacements are
       // re-derived from the pinned newContent, and only the affected
       // ebuckets rewrite — no set-difference, no anti-join, no old-
@@ -909,10 +994,11 @@ final class Pipeline(
       if (ebuckets.nonEmpty) {
         val preUpgrade = !io.exists(spark, "canonical_edge_entity_index") ||
           !io.read(spark, "canonical_edge_entity_index")
-            .columns.contains("pbucket")
+            .columns.contains("sbucket")
         if (preUpgrade) {
           // store written before the index existed (round-4 engine) or
-          // before rows carried pbucket: one-time wholesale backfill
+          // before rows carried the source-edge bucket column (including
+          // the pred-hash era's pbucket): one-time wholesale backfill
           // from the just-swapped table
           io.overwrite(spark, "canonical_edge_entity_index",
             Pipeline.canonicalIndexRows(io.read(spark, "canonical_edges")
@@ -924,9 +1010,9 @@ final class Pipeline(
             nb)
           val carried = io.read(spark, "canonical_edge_entity_index")
             .filter($"ebucket".isin(ebuckets: _*)) // partition-pruned
-            .filter(!$"pbucket".isin(buckets: _*)) // rebuilt sources drop
+            .filter(!$"sbucket".isin(buckets: _*)) // rebuilt sources drop
             .select("entity", "subj", "pred", "obj", "label",
-              "sourceChunkId", "ebucket", "pbucket")
+              "sourceChunkId", "ebucket", "sbucket")
           io.overwritePartitions(spark, "canonical_edge_entity_index",
             carried.unionByName(addedRows), "ebucket", ebuckets)
         }
@@ -934,7 +1020,9 @@ final class Pipeline(
       // vertex pointer refresh: only partitions holding an affected name;
       // EVERY row in them gets its pointer regenerated from the new map
       // (idempotent for unaffected rows — their image is unchanged there)
-      val nbuckets = nameBuckets // nbucket shares the name-hash definition
+      val nbuckets = affectedNames
+        .select(pmod(hash($"name"), lit(nb)).as("b"))
+        .distinct().as[Int].collect().toSeq
       val refreshed = io.read(spark, "vertices")
         .filter($"nbucket".isin(nbuckets: _*)) // partition-pruned read
         .drop("canonicalName")

@@ -31,7 +31,7 @@ class CanonicalQuerySuite extends AnyFunSuite {
 
   private def indexInvariant(io: ParquetTableIO): Unit = {
     val cols = Seq("entity", "subj", "pred", "obj", "label",
-      "sourceChunkId", "ebucket", "pbucket")
+      "sourceChunkId", "ebucket", "sbucket")
     val fromTable = Pipeline.canonicalIndexRows(
       io.read(spark, "canonical_edges")
         .select("subj", "pred", "obj", "label", "sourceChunkId"))
@@ -166,22 +166,22 @@ class CanonicalQuerySuite extends AnyFunSuite {
     assert(preds == Set("imports module", "calls function"))
   }
 
-  test("index without pbucket (pre-column store): backfilled wholesale") {
+  test("index without sbucket (pre-column store): backfilled wholesale") {
     val s = spark; import s.implicits._
     val cfg = GraftConfig(linkMode = "lsh", linkThreshold = 0.7)
     val io = new ParquetTableIO(
       java.nio.file.Files.createTempDirectory("graftcanonpb").toString)
     new Pipeline(cfg).materialize(spark.createDataset(batches(0)), io)
     // simulate a store written before index rows carried the source-edge
-    // pbucket: delta maintenance cannot locate a rebuilt bucket's rows
-    // in it, so the next batch must rebuild the index wholesale
+    // bucket column: delta maintenance cannot locate a rebuilt bucket's
+    // rows in it, so the next batch must rebuild the index wholesale
     io.overwrite(spark, "canonical_edge_entity_index",
-      io.read(spark, "canonical_edge_entity_index").drop("pbucket"),
+      io.read(spark, "canonical_edge_entity_index").drop("sbucket"),
       Seq("ebucket"))
     assert(!io.read(spark, "canonical_edge_entity_index")
-      .columns.contains("pbucket"))
+      .columns.contains("sbucket"))
     new Pipeline(cfg).materialize(spark.createDataset(batches(1)), io)
-    indexInvariant(io) // backfilled, pbucket present and correct
+    indexInvariant(io) // backfilled, sbucket present and correct
     val rag = new GraphRag(spark, io, cfg)
     val preds = rag.query("What is Batchengine?").triplets.get.collect()
       .filter(_.getAs[String]("entity") == "batchengine")

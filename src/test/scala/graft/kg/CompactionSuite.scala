@@ -574,7 +574,7 @@ class CompactionSuite extends AnyFunSuite {
       .materialize(spark.createDataset(batches(1)), io)
     assert(io.getMeta(spark, "num_buckets").map(_.trim) == Some("64"))
     assert(io.read(spark, "edges")
-      .filter(col("pbucket") =!= pmod(hash(col("pred")), lit(64)))
+      .filter(col("sbucket") =!= pmod(hash(col("subj")), lit(64)))
       .count() == 0, "post-reset rows not bucketed at the new knob")
   }
 
@@ -589,13 +589,13 @@ class CompactionSuite extends AnyFunSuite {
     assert(io.getMeta(spark, "num_buckets").map(_.trim) == Some("256"))
     def bucketDirs(t: String): Map[String, Set[(String, Long)]] =
       new java.io.File(s"$root/$t").listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("pbucket="))
+        .filter(f => f.isDirectory && f.getName.startsWith("sbucket="))
         .map(d => d.getName -> d.listFiles()
           .filter(_.getName.endsWith(".parquet"))
           .map(f => (f.getName, f.lastModified())).toSet).toMap
     def badRows() = io.read(spark, "edges")
-      .filter(col("pbucket") =!= pmod(hash(col("pred")), lit(256))).count()
-    assert(badRows() == 0, "stored pbucket not derived at the store's 256")
+      .filter(col("sbucket") =!= pmod(hash(col("subj")), lit(256))).count()
+    assert(badRows() == 0, "stored sbucket not derived at the store's 256")
     val before = bucketDirs("edges")
     // a writer left at the DEFAULT knob (32) must still write under the
     // store's persisted 256 — the store always wins, so mixing two
@@ -816,5 +816,86 @@ class CompactionSuite extends AnyFunSuite {
     new Pipeline(cfg).materialize(spark.createDataset(batches(2)), io)
     assert(!io.flagSet(spark, "batch_inflight"), "marker not cleared")
     indexMatchesEdges(io)
+  }
+
+  // The subject-hash layout cannot locate edges whose PREDICATE is a
+  // changed name (the one position outside both the sbucket dirs and the
+  // subj/obj entity index) — the pred_index registry leg must find them.
+  // Corpus: "calls function" occurs BOTH as a mention (subject of edge 1)
+  // and as the predicate of edge 2, whose subject "alphacore" never
+  // changes mapping; batch 2 links "calls functio" (lexicographically
+  // smaller → canonical), so "calls function" is the changed name and
+  // edge 2's canonical image must update through the pred leg alone.
+  test("delta == full when a changed name occurs as a predicate") {
+    val s = spark; import s.implicits._
+    val cfg = GraftConfig(linkMode = "lsh", linkThreshold = 0.7)
+    val bs = Seq(
+      Seq(row("a.scala", "Calls Function extends class deltaLib. " +
+        "AlphaCore calls function betaLib. ZetaStore uses dataTree.")),
+      Seq(row("b.scala", "Calls Functio imports module gammaLib.")))
+    def ingestAll(c: GraftConfig): ParquetTableIO = {
+      val io = new ParquetTableIO(
+        java.nio.file.Files.createTempDirectory("graftpredleg").toString)
+      bs.foreach(b => new Pipeline(c).materialize(spark.createDataset(b), io))
+      io
+    }
+    val delta = ingestAll(cfg)
+    val full = ingestAll(cfg.copy(fullCompaction = true))
+    // the fixture is live: the link fired and the canonical pred image
+    // of edge 2 moved to the new canonical name
+    val e2 = delta.read(spark, "canonical_edges")
+      .filter(col("subj") === "alphacore").select("pred")
+      .collect().map(_.getString(0)).toSet
+    assert(e2 == Set("calls functio"),
+      s"pred-position remap missing: $e2 (fixture dead or pred leg broken)")
+    Seq("canonical_edges", "canonical_edge_entity_index", "vertices",
+      "canonical_map").foreach { t =>
+      assert(state(delta, t) == state(full, t),
+        s"$t diverged with a changed predicate name")
+    }
+  }
+
+  test("a pred-hash-era store (pbucket layout) is migrated in place") {
+    val s = spark; import s.implicits._
+    val cfg = GraftConfig(linkMode = "lsh", linkThreshold = 0.7)
+    val root = java.nio.file.Files.createTempDirectory("graftmigr").toString
+    val io = new ParquetTableIO(root)
+    new Pipeline(cfg).materialize(spark.createDataset(batches(0)), io)
+    // rewrite the store into the round-4..6 shape: edges and the
+    // canonical pair bucketed by pred hash, no pred_index registry
+    def toPredLayout(t: String): Unit =
+      io.overwrite(spark, t,
+        io.read(spark, t).drop("sbucket")
+          .withColumn("pbucket", pmod(hash(col("pred")), lit(32))),
+        Seq("pbucket"))
+    toPredLayout("edges")
+    toPredLayout("canonical_edges")
+    io.overwrite(spark, "canonical_edge_entity_index",
+      io.read(spark, "canonical_edge_entity_index").drop("sbucket")
+        .withColumn("pbucket", pmod(hash(col("pred")), lit(32))),
+      Seq("ebucket"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/pred_index"), true)
+    assert(!io.read(spark, "edges").columns.contains("sbucket"))
+    // the next batches re-lay edges under sbucket, rebuild pred_index
+    // from the merged table, and full-compact the canonical pair once
+    batches.tail.foreach(b =>
+      new Pipeline(cfg).materialize(spark.createDataset(b), io))
+    val full = ingest(cfg.copy(fullCompaction = true))
+    Seq("canonical_edges", "canonical_edge_entity_index", "vertices",
+      "canonical_map").foreach { t =>
+      assert(state(io, t) == state(full, t), s"$t diverged after migration")
+    }
+    assert(io.read(spark, "edges").columns.contains("sbucket"))
+    assert(!io.read(spark, "edges").columns.contains("pbucket"))
+    assert(new java.io.File(s"$root/edges").listFiles()
+      .exists(_.getName.startsWith("sbucket=")), "edges not re-laid")
+    // the registry matches the merged edge set
+    val regPairs = io.read(spark, "pred_index").select("pred", "sbucket")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val edgePairs = io.read(spark, "edges").select("pred", "sbucket")
+      .distinct().collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(regPairs == edgePairs, "pred_index != distinct edge pairs")
   }
 }

@@ -67,7 +67,7 @@ class GraphRagSuite extends AnyFunSuite {
     val indexed = retrieval
       .relationshipSearchIndexed(io.read(spark, "edge_entity_index"), query)
     val scan = retrieval.relationshipSearch(
-      io.read(spark, "edges").drop("pbucket"), query)
+      io.read(spark, "edges").drop("sbucket"), query)
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[String]("entity"), r.getAs[String]("subj"),
         r.getAs[String]("pred"), r.getAs[String]("obj"))

@@ -232,7 +232,7 @@ class IncrementalSkewSuite extends AnyFunSuite {
       s"union-cap semantics diverged: inc=${incPairs(2)} one=${touchingBatch(onePairs(2))}")
   }
 
-  test("partitioned layout: edge table written under pbucket dirs") {
+  test("partitioned layout: edge table written under sbucket dirs") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftpart").toString
     val io = new ParquetTableIO(dir)
@@ -240,11 +240,11 @@ class IncrementalSkewSuite extends AnyFunSuite {
       CorpusGen.generate(repos = 3, filesPerRepo = 4, seed = 9L).rows)
     new Pipeline(GraftConfig(linkMode = "exact")).materialize(corpus, io)
     val bucketDirs = new java.io.File(s"$dir/edges").listFiles()
-      .filter(_.getName.startsWith("pbucket="))
-    assert(bucketDirs.nonEmpty, "edges not partitioned by pbucket")
+      .filter(_.getName.startsWith("sbucket="))
+    assert(bucketDirs.nonEmpty, "edges not partitioned by sbucket")
     // reads prune by partition column
-    val one = io.read(spark, "edges").filter(col("pbucket") === bucketDirs.head
-      .getName.stripPrefix("pbucket=").toInt)
+    val one = io.read(spark, "edges").filter(col("sbucket") === bucketDirs.head
+      .getName.stripPrefix("sbucket=").toInt)
     assert(one.count() > 0)
   }
 }
