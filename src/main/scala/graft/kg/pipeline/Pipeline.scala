@@ -959,19 +959,14 @@ final class Pipeline(
         .join(newCC.select($"name", $"canonicalName"), Seq("name"), "left")
         .select($"name", coalesce($"canonicalName", $"name").as("canonicalName"))
         .as[CanonicalMapping]
-      // affected ebuckets, computed BEFORE the swap replaces the rebuilt
-      // dirs: every index row sourced from a rebuilt sbucket derives
-      // from an edge in those partitions' OLD content, so its ebucket is
-      // one of the old content's entity buckets; the rebuild's new rows
-      // land in newContent's entity buckets. Both are tiny map-side-
-      // combined aggregates (≤ NumBuckets values) — the old content is
-      // never materialized or diffed.
-      def ebucketsOf(df: DataFrame): Seq[Int] = df
-        .select(explode(array($"subj", $"obj")).as("e"))
-        .select(pmod(hash($"e"), lit(nb)).as("b"))
-        .distinct().as[Int].collect().toSeq
-      val oldEbuckets = ebucketsOf(io.read(spark, "canonical_edges")
-        .filter($"sbucket".isin(buckets: _*))) // partition-pruned read
+      // the rebuilt buckets' OLD content, pinned BEFORE the swap deletes
+      // those dirs — the index maintenance below diffs against it. A
+      // partition-pruned read: O(rebuilt buckets' content), which under
+      // the subject-hash layout is O(batch reach), never the store.
+      val oldContent = io.read(spark, "canonical_edges")
+        .filter($"sbucket".isin(buckets: _*))
+        .select("subj", "pred", "obj", "label", "sourceChunkId")
+        .localCheckpoint()
       val newContent = Materialize
         .canonicalEdges(rebuildSource, canonForRebuild,
           salted = config.saltedCanonicalJoin)
@@ -979,43 +974,63 @@ final class Pipeline(
         .localCheckpoint() // pinned: consumed by the write AND the index
       io.overwritePartitions(spark, "canonical_edges", newContent,
         "sbucket", buckets)
-      // canonical_edge_entity_index maintenance, DIFF-FREE: index rows
-      // carry their source edge's sbucket, so the rebuilt buckets' index
-      // rows drop by a partition-pruned FILTER, their replacements are
-      // re-derived from the pinned newContent, and only the affected
-      // ebuckets rewrite — no set-difference, no anti-join, no old-
-      // content checkpoint (the round-4 diff design cost two shuffles
-      // over O(bucket content) per batch, measured dominant in the
-      // incremental series). Invariant: index ==
-      // canonicalIndexRows(canonical_edges), asserted in
-      // CanonicalQuerySuite.
-      val ebuckets = (oldEbuckets ++ ebucketsOf(
-        newContent.select($"subj", $"obj"))).distinct
-      if (ebuckets.nonEmpty) {
-        val preUpgrade = !io.exists(spark, "canonical_edge_entity_index") ||
-          !io.read(spark, "canonical_edge_entity_index")
-            .columns.contains("sbucket")
-        if (preUpgrade) {
-          // store written before the index existed (round-4 engine) or
-          // before rows carried the source-edge bucket column (including
-          // the pred-hash era's pbucket): one-time wholesale backfill
-          // from the just-swapped table
-          io.overwrite(spark, "canonical_edge_entity_index",
-            Pipeline.canonicalIndexRows(io.read(spark, "canonical_edges")
-              .select("subj", "pred", "obj", "label", "sourceChunkId"), nb),
-            Seq("ebucket"))
-        } else {
-          val addedRows = Pipeline.canonicalIndexRows(
-            newContent.select("subj", "pred", "obj", "label", "sourceChunkId"),
-            nb)
+      // canonical_edge_entity_index maintenance, EXACT-DIFF: most of a
+      // rebuilt sbucket's rows are regenerated IDENTICALLY (only edges
+      // touching an affected name change image), so rewriting every
+      // ebucket the rebuilt content reaches — the round-4..7 diff-free
+      // design — amplified the index write to ~the full table whenever
+      // the rebuilt rows' entities saturated the bucket space (round-7
+      // BatchReadProbe: 9.3 of 9.3 MB for a 10-doc batch at 256
+      // buckets). Diffing old vs new index images of the rebuilt buckets
+      // costs two anti-joins over O(batch reach) rows — cheap under the
+      // subject-hash layout where the rebuilt content is small (the
+      // round-4 measurement that ruled diffing out was over the pred
+      // layout's full-table rebuilds) — and shrinks the rewrite to the
+      // ebuckets of rows that ACTUALLY changed: O(batch reach) dirs.
+      // Production analogue: Iceberg equality deletes (merge-on-read).
+      // Invariant: index == canonicalIndexRows(canonical_edges),
+      // asserted in CanonicalQuerySuite.
+      val preUpgrade = !io.exists(spark, "canonical_edge_entity_index") ||
+        !io.read(spark, "canonical_edge_entity_index")
+          .columns.contains("sbucket")
+      if (preUpgrade) {
+        // store written before the index existed (round-4 engine) or
+        // before rows carried the source-edge bucket column (including
+        // the pred-hash era's pbucket): one-time wholesale backfill
+        // from the just-swapped table
+        io.overwrite(spark, "canonical_edge_entity_index",
+          Pipeline.canonicalIndexRows(io.read(spark, "canonical_edges")
+            .select("subj", "pred", "obj", "label", "sourceChunkId"), nb),
+          Seq("ebucket"))
+      } else {
+        val rowCols = Seq("entity", "subj", "pred", "obj", "label",
+          "sourceChunkId")
+        val oldIdx = Pipeline.canonicalIndexRows(oldContent, nb)
+        val newIdx = Pipeline.canonicalIndexRows(
+          newContent.select("subj", "pred", "obj", "label", "sourceChunkId"),
+          nb)
+        // rows are unique in rowCols within each side (content is keyed
+        // on (subj,pred,obj)), and a diff row cannot collide with an
+        // untouched bucket's row (same subj ⇒ same sbucket ⇒ that bucket
+        // was rebuilt), so drop/add is an exact set update
+        val dropRows = oldIdx.join(hinted(newIdx), rowCols, "left_anti")
+          .localCheckpoint()
+        val addRows = newIdx.join(hinted(oldIdx), rowCols, "left_anti")
+          .localCheckpoint()
+        val ebuckets = (dropRows.select($"ebucket")
+          .unionByName(addRows.select($"ebucket"))
+          .distinct().as[Int].collect().toSeq)
+        if (ebuckets.nonEmpty) {
           val carried = io.read(spark, "canonical_edge_entity_index")
             .filter($"ebucket".isin(ebuckets: _*)) // partition-pruned
-            .filter(!$"sbucket".isin(buckets: _*)) // rebuilt sources drop
+            .join(hinted(dropRows.select(rowCols.map(col): _*)),
+              rowCols, "left_anti")
             .select("entity", "subj", "pred", "obj", "label",
               "sourceChunkId", "ebucket", "sbucket")
           io.overwritePartitions(spark, "canonical_edge_entity_index",
-            carried.unionByName(addedRows), "ebucket", ebuckets)
-        }
+            carried.unionByName(addRows), "ebucket", ebuckets)
+        } // empty diff: the rebuild regenerated identical images — the
+          // index is untouched on storage
       }
       // vertex pointer refresh: only partitions holding an affected name;
       // EVERY row in them gets its pointer regenerated from the new map

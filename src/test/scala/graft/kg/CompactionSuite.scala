@@ -898,4 +898,25 @@ class CompactionSuite extends AnyFunSuite {
       .distinct().collect().map(r => (r.getString(0), r.getInt(1))).toSet
     assert(regPairs == edgePairs, "pred_index != distinct edge pairs")
   }
+
+  // exact-diff index maintenance: a batch whose canonical rebuild
+  // regenerates byte-identical images (a replayed doc — no new keys, no
+  // map change) must not rewrite ANY canonical_edge_entity_index
+  // partition; the diff-free design rewrote every ebucket the rebuilt
+  // buckets' content reached (measured ≈ the full table per batch).
+  test("an image-neutral batch leaves the canonical index untouched") {
+    val s = spark; import s.implicits._
+    val cfg = GraftConfig(linkMode = "lsh", linkThreshold = 0.7)
+    val io = new ParquetTableIO(
+      java.nio.file.Files.createTempDirectory("graftidxskip").toString)
+    new Pipeline(cfg).materialize(spark.createDataset(batches(0)), io)
+    new Pipeline(cfg).materialize(spark.createDataset(batches(1)), io)
+    val fp = io.snapshotFp(spark, "canonical_edge_entity_index")
+    assert(fp.nonEmpty)
+    // replay batch 2 verbatim: same keys, same provenance, no linking
+    // delta → every rebuilt canonical image is identical → empty diff
+    new Pipeline(cfg).materialize(spark.createDataset(batches(1)), io)
+    assert(io.snapshotFp(spark, "canonical_edge_entity_index") == fp,
+      "replayed batch rewrote canonical index partitions")
+  }
 }
