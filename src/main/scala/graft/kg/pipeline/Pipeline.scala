@@ -533,7 +533,8 @@ final class Pipeline(
     // obj}, edge), partitioned by entity hash bucket, so the per-entity
     // relationship lookup (retrieval.py:265-314 is an indexed lookup, not
     // a scan) partition-prunes instead of scanning every edge — the
-    // pred-hash primary layout prunes nothing for a by-entity filter.
+    // subject-hash primary layout prunes only subject-side lookups; an
+    // object-side probe needs this index.
     // Edges are immutable keyed rows, so exploding only the DELTA keeps
     // the index complete under MERGE accumulation — valid only while
     // every prior batch did the same. Two cases where the stored index
