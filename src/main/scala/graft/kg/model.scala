@@ -132,6 +132,22 @@ final case class GraftConfig(
       * must equal — kept for the equivalence test and as a recovery
       * path). See [[graft.kg.pipeline.Pipeline]]`.compactDelta`. */
     fullCompaction: Boolean = false,
+    /** Saturation gate for delta compaction (r8, VERDICT r7 #1): when the
+      * affected-name set of a batch reaches more than this fraction of
+      * the store's bucket space, the delta path's discovery/diff
+      * machinery is pure overhead — at the measured 160-doc/nb=256
+      * saturation point it READ 57 MB/batch vs the full rebuild's 41 MB
+      * for identical ~11 MB writes — so the batch routes to the
+      * always-correct full-rebuild branch instead. The gate is evaluated
+      * BEFORE any store discovery reads (the affected-name set is already
+      * in hand), so a saturated batch pays ~the full rebuild exactly.
+      * 1.0 disables the gate (always delta when eligible); 0.0 forces
+      * full rebuilds (≈ fullCompaction). Default 0.5: past half the
+      * buckets the rebuild read-set is a majority of the table either
+      * way, and the delta path's extra discovery+diff legs no longer pay
+      * for the partitions they skip (series evidence in
+      * BENCH/BASELINE.md §sub-bucket series / OPTIMIZATION_r08.md). */
+    deltaSaturationFraction: Double = 0.5,
     /** Partition-bucket count for the hash-bucketed table layouts
       * (sbucket/ebucket/nbucket/cbucket/tbucket/pibucket — Iceberg
       * `bucket(N, col)` analogue). Applied when a store is CREATED and

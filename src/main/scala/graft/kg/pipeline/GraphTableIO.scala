@@ -280,7 +280,18 @@ final class ParquetTableIO(root: String) extends GraphTableIO {
           throw new java.io.IOException(
             s"compaction redo plan: rename $src -> $dst returned false; " +
               "plan and staged files left in place for the next reconcile")
-      case ("rm", p, _) => hfs.delete(new org.apache.hadoop.fs.Path(p), false); ()
+      case ("rm", p, _) =>
+        // mirror the mv hardening (ADVICE r7): delete reports failure by
+        // returning false as well as by throwing — a false return with
+        // the target still present (e.g. permissions) would let the plan
+        // complete while both the merged file and the sliver it replaced
+        // stay live (duplicate rows). A missing target is the idempotent
+        // already-ran case.
+        val pp = new org.apache.hadoop.fs.Path(p)
+        if (hfs.exists(pp) && !hfs.delete(pp, false))
+          throw new java.io.IOException(
+            s"compaction redo plan: delete $p returned false with the " +
+              "target still present; plan left in place for the next reconcile")
       case _ => ()
     }
 

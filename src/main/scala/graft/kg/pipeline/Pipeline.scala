@@ -374,6 +374,21 @@ final class Pipeline(
     // + the delta compaction's CC seed) — without the pin the second
     // consumption re-executes the LSH linking join
     val pinnedAliases = pin(r.aliases)
+    // embeddings are deliberately NOT pinned (guide §5): they feed four
+    // consumers (table append, computeThresholds, the vec-index layout,
+    // the staleness probe), but at dim=768 the cache is ~1 GB at the
+    // 250k-doc build and measured as pure memory-pressure loss — stacked
+    // on merge()'s own pin of the 4×-row vec-index delta it tipped the
+    // 8 GB local JVM into eviction churn (vec-index write 18.7 s →
+    // 435 s). The layout's single-pass explode (VectorIndex.layout, r8)
+    // already removed the 4× re-embed; the remaining recomputes are one
+    // cheap mapPartitions over the pinned chunks cache each.
+    // edges ARE pinned: narrow rows (strings, no vectors — O(10 MB) at
+    // this scale), consumed by the edges MERGE, pred_index, the entity
+    // index, and (lsh batches) delta compaction's discovery — each
+    // re-ran the (subj,pred,obj) dedup shuffle over the triples cache
+    // unpinned
+    val pinnedEdges = pin(r.edges)
     // physical layout (SURVEY.md §4.4): edges bucketed by SUBJECT hash,
     // vertices by name hash — partition-parallel MERGE and pruning;
     // production = Iceberg bucket(N, col) transforms. The subject is the
@@ -474,12 +489,15 @@ final class Pipeline(
         // migration runs — an index without a sidecar is never probed.)
         rebuildIndexWholesale()
       case None =>
-        // genuinely fresh store: compute the medians over the batch
-        val t = VectorIndex.computeThresholds(r.chunkEmbeddings.toDF(), embedder.dim)
-        io.merge(spark, "chunk_vec_index",
-          VectorIndex.layout(r.chunkEmbeddings.toDF(), embedder.dim, t),
-          Seq("chunkId", "l"), Seq("l", "vbucket"))
-        writeVecMeta(t)
+        // genuinely fresh store: the cumulative embeddings table was
+        // merged just above and equals the batch, so the wholesale
+        // rebuild (thresholds + layout FROM THE STORED TABLE) produces
+        // the identical index — and reads cheap parquet scans instead of
+        // re-running the in-flight embed pipeline once for the medians
+        // and once per layout table (r8, guide §1/§2.3: 5 recomputed
+        // embed passes of the 250k-doc batch eliminated; IngestProbe
+        // attribution in OPTIMIZATION_r08.md)
+        rebuildIndexWholesale()
     }
     // terms dedup on the MERGE key but KEEP the in-flight multiplicity as
     // a tf column — termSearch's documented score is TF summed per chunk,
@@ -490,9 +508,13 @@ final class Pipeline(
     // instead of reading the full terms table — at 100× the terms table is
     // the largest table in the store and an unpruned per-query scan of it
     // would dominate query latency.
+    // tf computed chunk-locally inside the flatMap (Terms.termsWithTf):
+    // the former groupBy over every occurrence row shuffled the largest
+    // in-flight frame of the batch to compute an aggregate whose key
+    // starts with chunkId — final after map-side partial aggregation by
+    // construction (measured 17.3 s of the 83 s 250k-doc build, r8)
     io.appendNew(spark, "terms",
-      r.terms.toDF().groupBy("chunkId", "text", "termType")
-        .agg(count(lit(1)).as("tf"))
+      Terms.termsWithTf(r.chunks, config.removeStopwords)
         .withColumn("tbucket", pmod(hash(col("text")), lit(nb))),
       Seq("chunkId", "text", "termType"), Seq("tbucket"))
     val edgesPreexisted = io.exists(spark, "edges")
@@ -676,6 +698,7 @@ final class Pipeline(
     if (pinnedChunks) r.chunks.unpersist(blocking = false)
     if (pinnedTriples) r.triples.unpersist(blocking = false)
     if (pinnedAliases) r.aliases.unpersist(blocking = false)
+    if (pinnedEdges) r.edges.unpersist(blocking = false)
     r.cleanup()
     val tableCounts = Seq("chunks", "chunk_embeddings", "chunk_vec_index",
       "terms", "edges", "edge_entity_index", "pred_index", "canonical_edges",
@@ -863,6 +886,24 @@ final class Pipeline(
         .select(explode(array($"subj", $"pred", $"obj")).as("name")))
       .distinct()
       .localCheckpoint()
+    // SATURATION GATE (r8, VERDICT r7 wrong-#1): when the batch's
+    // affected names already reach most of the bucket space, every
+    // "selective" pass below degenerates to ~the whole table and the
+    // delta machinery's discovery (entity-index probes, pred_index leg)
+    // and exact-diff anti-joins are paid ON TOP of a full-size rebuild —
+    // the 160-doc/nb=256 series measured the delta path reading 57 MB vs
+    // the full rebuild's 41 MB per batch for identical write volume.
+    // The affected-name bucket count is computable from the pinned
+    // O(batch) frame BEFORE any store read, so gating here routes a
+    // saturated batch to the existing full-rebuild branch at ~zero extra
+    // cost. Both paths produce identical state (CompactionSuite
+    // equivalences, incl. the gate-crossing test), so the gate is purely
+    // a plan choice.
+    val affectedBucketCount = affectedNames
+      .select(pmod(hash($"name"), lit(nb)).as("b")).distinct().count()
+    if (affectedBucketCount > config.deltaSaturationFraction * nb) {
+      compact(spark, io, nb); return
+    }
     if (!affectedNames.isEmpty) {
       // ---- affected-bucket discovery (canonical_edges is bucketed by
       // CANONICAL-SUBJECT hash). A stored canonical row's location is

@@ -149,7 +149,21 @@ object VectorIndex {
 
   /** Index rows for an embeddings frame `(chunkId, vec)`: one row per
     * (chunk, table) with its bucket — L× the input, written under
-    * `l=<table>/vbucket=<bucket>` partition dirs by the materializer. */
+    * `l=<table>/vbucket=<bucket>` partition dirs by the materializer.
+    *
+    * Deliberately a NumTables-way union, NOT an
+    * `explode(array(struct(l, bucket)...))` (r8 measured negative): the
+    * exploded form looked like it would evaluate the embeddings subtree
+    * once instead of once per table, but in practice the Generate stage
+    * over the 32-dot-product generator was catastrophically slower (a
+    * 100k-row noop write did not finish its first iteration in minutes
+    * vs ~2 s/leg for the union; the 250k-store vec-index merge went
+    * 18.7 s → 400+ s before being killed). Each union leg's 8-dot
+    * projection stays a plain codegen'd Project. Callers who would pay
+    * the N× subtree re-execution on an EXPENSIVE source should hand this
+    * function a cheap-to-rescan frame instead (the materializer builds
+    * fresh-store indexes from the just-written chunk_embeddings table,
+    * not the in-flight embed pipeline — Pipeline r8). */
   def layout(embeddings: DataFrame, dim: Int,
       thresholds: Array[Double]): DataFrame =
     (0 until NumTables).map { l =>

@@ -215,15 +215,29 @@ object Link {
       .withColumn("score", graft.functions.VectorFunctions.dot_product($"va", $"vb"))
       .filter($"score" >= threshold)
       .select($"a", $"b", $"score")
-    // top-K per probe over this batch's candidates, both directions
-    val sym = scored.unionByName(
-      scored.select($"b".as("a"), $"a".as("b"), $"score"))
+    // top-K per probe over this batch's candidates, both directions.
+    // Symmetrize with a per-row explode, NOT scored ∪ scored.swap: the
+    // union form executes the whole candidate-join/re-score subtree a
+    // second time for the swapped branch (Catalyst does not dedupe common
+    // subtrees across union legs) — measured as a full re-run of the
+    // linking join per call (guide §2.4 / r8). One exploded pass emits
+    // the identical symmetric row set.
+    val sym = symmetrized(scored)
     val w = Window.partitionBy($"a").orderBy($"score".desc, $"b")
     sym.withColumn("rn", row_number().over(w))
       .filter($"rn" <= linkTopK)
       .select($"a", $"b", $"score")
       .as[AliasPair]
   }
+
+  /** (a, b, score) → both directions of every row in ONE map-side pass
+    * (replaces the self-union that re-executed the upstream subtree). */
+  private def symmetrized(scored: DataFrame): DataFrame =
+    scored
+      .select(explode(array(
+        struct(col("a"), col("b"), col("score")),
+        struct(col("b").as("a"), col("a").as("b"), col("score")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.score").as("score"))
 
   /** J1: deterministic MinHash banding + exact Jaccard filter +
     * exact-cosine re-score ≥ threshold, top-`linkTopK` per probe.
@@ -296,9 +310,12 @@ object Link {
       .filter($"score" >= threshold)
       .select($"a", $"b", $"score")
 
-    // top-K per probe, both directions (reference caps neighbors per probe)
-    val sym = scored.unionByName(
-      scored.select($"b".as("a"), $"a".as("b"), $"score"))
+    // top-K per probe, both directions (reference caps neighbors per
+    // probe) — exploded symmetrization: the previous scored ∪ scored.swap
+    // re-executed the whole candidate-join/re-score subtree for the
+    // swapped leg (no common-subtree dedup across union branches); the
+    // explode emits the identical row set in one pass (guide §2.4, r8)
+    val sym = symmetrized(scored)
     val w = Window.partitionBy($"a").orderBy($"score".desc, $"b")
     sym.withColumn("rn", row_number().over(w))
       .filter($"rn" <= linkTopK)

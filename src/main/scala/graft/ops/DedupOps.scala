@@ -27,7 +27,19 @@ object DedupOps {
         "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1]))"))
         .as("sh"))
 
-  /** Two-band MinHash signature per doc: min(md5('a'|sh)), min(md5('b'|sh)). */
+  /** Two-band MinHash signature per doc: min(md5('a'|sh)), min(md5('b'|sh)).
+    *
+    * Deliberately KEPT as explode → groupBy → min (r8, guide §7.2 lesson):
+    * the "obvious" shuffle-free form — `array_min(transform(sh, md5(...)))`
+    * over a per-row shingle array — measured 10× SLOWER when consumed by
+    * q27's self-join: the join's inferred `IsNotNull(mh_a)` constraint is
+    * pushed below the projection, duplicating the ENTIRE minhash
+    * expression into a Filter where `split(text)` is inlined into the
+    * bigram lambda — O(tokens²) work per document, per band, per side
+    * (measured 11.2 s vs 1.1 s at sf0.1). The aggregate blocks that
+    * pushdown, and the explode's shuffle is negligible anyway: groupBy-min
+    * partial-aggregates map-side, so only one (doc, min) row per band
+    * crosses the exchange. */
   private def minhashSig(s: SparkSession, dir: String): DataFrame =
     shingled(s, dir)
       .groupBy(col("doc_id"))
@@ -36,29 +48,35 @@ object DedupOps {
 
   /** Banded candidate pairs re-scored at exact token-set Jaccard —
     * (a, b, jaccard), a < b. Shared by q27 (the pair listing) and q40
-    * (cluster representative selection over the pair graph). */
+    * (cluster representative selection over the pair graph).
+    *
+    * r8 rewrite (guide §2.3 "shuffle fewer bytes" / §2.4): a doc's
+    * DISTINCT token set is a per-row `array_distinct` — no (doc, token)
+    * explode, no global distinct shuffle. |A ∩ B| for a candidate pair is
+    * `size(array_intersect)` computed after joining the (small) candidate
+    * list against the per-doc token sets, so the exploded token table
+    * never crosses an exchange (previous shape: distinct over every
+    * (doc, token) pair + two wide joins + a groupBy — 5 exchanges carrying
+    * token rows). Integer intersection/size arithmetic is unchanged, so
+    * the jaccard doubles are bit-identical. */
   private def minhashJaccard(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSig(s, dir)
     val cands = sig.as("x").join(sig.as("y"),
         col("x.mh_a") === col("y.mh_a") && col("x.mh_b") === col("y.mh_b") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-    val toks = t(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .distinct()
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = cands
-      .join(toks.select(col("doc_id").as("a"), col("tok")), Seq("a"))
-      .join(toks.select(col("doc_id").as("b"), col("tok")), Seq("b", "tok"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    val toksets = t(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts"))
     cands
-      .join(inter, Seq("a", "b"), "left")
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .join(toksets.select(col("doc_id").as("a"), col("ts").as("ta")), Seq("a"))
+      .join(toksets.select(col("doc_id").as("b"), col("ts").as("tb")), Seq("b"))
       .select(col("a"), col("b"),
-        (coalesce(col("inter"), lit(0L)).cast("double") /
-          (col("sza") + col("szb") - coalesce(col("inter"), lit(0L))))
-          .as("jaccard"))
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+        size(col("ta")).cast("long").as("sza"),
+        size(col("tb")).cast("long").as("szb"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter"))).as("jaccard"))
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(

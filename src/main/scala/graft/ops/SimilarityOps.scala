@@ -76,32 +76,47 @@ object SimilarityOps {
     "q31_ann_lsh_bucketed" -> ((s, dir) => {
       import graft.functions.VectorFunctions.cosine_sim
       val L = 6; val k = 4
-      val e0 = t(s, dir, "embeddings")
+      // plan-time dimension probe on the RAW scan (no repartition in the
+      // probe's lineage — the old shape paid the shuffle just to read one
+      // row); an empty table has no dimension (and trivially no
+      // neighbors) — produce the empty result instead of crashing on
+      // head() (no `return`: this is a lambda)
+      val raw = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble("embedding").as("v"))
-        .repartition(s.sparkContext.defaultParallelism)
-      // plan-time dimension probe; an empty table has no dimension (and
-      // trivially no neighbors) — produce the empty result instead of
-      // crashing on head() (no `return`: this is a lambda)
-      val dimRow = e0.select(size(col("v"))).take(1)
+      val dimRow = raw.select(size(col("v"))).take(1)
       if (dimRow.isEmpty)
-        e0.select(col("vec_id").as("query_id"),
+        raw.select(col("vec_id").as("query_id"),
           lit(1).as("rank"), col("vec_id").as("neighbor_id")).limit(0)
       else {
         val dim = dimRow(0).getInt(0)
-        val e = (0 until L).foldLeft(e0) { (df, tbl) =>
-          df.withColumn(s"b$tbl", signBucketExpr("v", dim, k, planeOffset = tbl * k))
-        }
-        val probes = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id") +: col("v").as("qv") +:
-            (0 until L).map(tbl => col(s"b$tbl").as(s"qb$tbl")): _*)
-        // candidate set = UNION over tables of bucket equi-joins (each a
-        // broadcast hash join on the bucket key — blocked, never a scan)
-        val candidates = (0 until L).map { tbl =>
-          broadcast(probes.select(col("query_id"), col("qv"), col(s"qb$tbl").as("qb")))
-            .join(e.select(col("vec_id"), col("v"), col(s"b$tbl").as("qb")), Seq("qb"))
-            .filter(col("vec_id") =!= col("query_id"))
-            .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
-        }.reduce(_ unionByName _)
+        // r8 rewrite (guide §2.4 — remove shuffles outright): ONE exploded
+        // (tbl, bucket) row set per side and ONE broadcast equi-join on
+        // (tbl, qb), instead of L per-table joins unioned (the old plan
+        // re-ran the scan+repartition exchange and built a separate
+        // broadcast per table — 6 broadcast builds, 12 scan legs). A pair
+        // colliding in ANY table still survives exactly once via the same
+        // dropDuplicates; candidate set, scores and ranks are identical.
+        def withTableBuckets(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("vec_id"), col("v"),
+            explode(array((0 until L).map { tbl =>
+              struct(lit(tbl).as("tbl"),
+                signBucketExpr("v", dim, k, planeOffset = tbl * k).as("qb"))
+            }: _*)).as("tb"))
+            .select(col("vec_id"), col("v"), col("tb.tbl").as("tbl"),
+              col("tb.qb").as("qb"))
+        // probe side: vec_id < 5 pushes down to the parquet scan — the
+        // broadcast build reads row groups, not the shuffled table
+        val probes = withTableBuckets(raw.filter(col("vec_id") < 5))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("tbl"), col("qb"))
+        // candidate side: single scan, spread across cores (single-file
+        // parquet = one input partition otherwise)
+        val candidates = broadcast(probes)
+          .join(withTableBuckets(
+            raw.repartition(s.sparkContext.defaultParallelism)),
+            Seq("tbl", "qb"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
           .dropDuplicates("query_id", "vec_id")
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("neighbor_id"))

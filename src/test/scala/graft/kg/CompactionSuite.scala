@@ -75,6 +75,26 @@ class CompactionSuite extends AnyFunSuite {
     }
   }
 
+  test("saturation gate crosses to full rebuild and back without state drift") {
+    // nb=2 makes any real batch's affected names reach both buckets, so
+    // the default deltaSaturationFraction=0.5 gate (threshold: >1 bucket)
+    // routes batches 2-3 to the full-rebuild branch; fraction=1.0
+    // disables the gate and keeps the delta path. All three runs must
+    // land on identical canonical state — the gate is a plan choice only.
+    val base = GraftConfig(linkMode = "lsh", linkThreshold = 0.7, numBuckets = 2)
+    val gated = ingest(base) // gate fires (delta entry point, full plan)
+    val full = ingest(base.copy(fullCompaction = true))
+    val delta = ingest(base.copy(deltaSaturationFraction = 1.0)) // gate off
+    Seq("canonical_edges", "canonical_edge_entity_index", "vertices",
+      "canonical_map").foreach { t =>
+      assert(state(gated, t) == state(full, t),
+        s"$t diverged between gated-delta and forced-full")
+      assert(state(delta, t) == state(full, t),
+        s"$t diverged between ungated-delta and forced-full")
+      assert(state(gated, t).nonEmpty, s"table $t empty")
+    }
+  }
+
   test("delta == full compaction under the salted-join config too") {
     // the 10^12-scale regime: no broadcast of the canonical map anywhere —
     // compactDelta's rebuild must identity-complete the map for the
