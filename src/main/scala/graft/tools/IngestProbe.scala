@@ -11,7 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ingest path). The residual (wall − sum of IO spans) is pipeline
   * compute + driver planning.
   *
-  * Usage: runMain graft.tools.IngestProbe [repos] [files] [cores]
+  * Usage: runMain graft.tools.IngestProbe [repos] [files] [cores] [keepRoot]
+  *        (keepRoot: build into this path and do NOT delete it — for
+  *        feeding QueryProbe an actual bench-shaped store)
   */
 object IngestProbe {
   final class TimingIO(inner: ParquetTableIO) extends GraphTableIO {
@@ -69,7 +71,9 @@ object IngestProbe {
       .generateDistributed(spark, repos, files, seed = 42L)
       .repartition(cores.toInt * 4).cache()
     corpus.count()
-    val root = java.nio.file.Files.createTempDirectory("graft_ingest_probe").toString
+    val keepRoot = args.lift(3)
+    val root = keepRoot.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_ingest_probe").toString)
     val io = new TimingIO(new ParquetTableIO(root))
     val rag = new graft.kg.GraphRag(spark, io, GraftConfig(linkMode = "exact"))
     val t0 = System.nanoTime()
@@ -87,9 +91,11 @@ object IngestProbe {
       if (p.isFile) p.length
       else Option(p.listFiles).map(_.map(du).sum).getOrElse(0L)
     System.err.println(f"[ingest] store bytes: ${du(new java.io.File(root)) / 1e6}%.0f MB")
-    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    if (keepRoot.isEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    } else System.err.println(s"[ingest] store kept at $root")
     spark.stop()
   }
 }
