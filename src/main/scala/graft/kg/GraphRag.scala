@@ -60,7 +60,17 @@ final class GraphRag(
     * so a caller consuming only the triplets must not pay for a hits
     * frame it never reads (measured on the 250k bench store: 1.93 s per
     * triplets-only query of which the triplet lookup itself was 0.15 s,
-    * graft.tools.RelProbe; the rest was the eagerly-built hits side). */
+    * graft.tools.RelProbe; the rest was the eagerly-built hits side).
+    *
+    * CONSUME-BEFORE-MUTATE contract (ADVICE r7): because the sides are
+    * thunks over the facade's table handles, a result must be consumed
+    * before the next [[ingest]]/[[reset]] through this facade — a side
+    * first accessed AFTER an intervening mutation is computed against
+    * the mutated store (after reset it may fail on missing tables), and
+    * the two sides of one result can then reflect different store
+    * states. This is the same single-writer-window caveat every handle
+    * of this facade carries; callers needing a pinned snapshot should
+    * materialize (collect/count/write) both sides before mutating. */
   final class QueryResult private[GraphRag] (
       chunksThunk: () => DataFrame,
       tripletsThunk: Option[() => DataFrame]) {

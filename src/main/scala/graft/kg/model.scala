@@ -142,12 +142,17 @@ final case class GraftConfig(
       * BEFORE any store discovery reads (the affected-name set is already
       * in hand), so a saturated batch pays ~the full rebuild exactly.
       * 1.0 disables the gate (always delta when eligible); 0.0 forces
-      * full rebuilds (≈ fullCompaction). Default 0.5: past half the
-      * buckets the rebuild read-set is a majority of the table either
-      * way, and the delta path's extra discovery+diff legs no longer pay
-      * for the partitions they skip (series evidence in
-      * BENCH/BASELINE.md §sub-bucket series / OPTIMIZATION_r08.md). */
-    deltaSaturationFraction: Double = 0.5,
+      * full rebuilds (≈ fullCompaction). Default 0.75, calibrated from
+      * the two measured endpoints (BatchReadProbe / the r7+r8 series):
+      * at ~0.5 bucket reach (a 40-doc batch's ~180 names hash into
+      * ~130/256 buckets — the birthday effect makes bucket reach exceed
+      * name share) the delta path still writes 0.26–0.63 of the full
+      * rebuild's volume, so the gate must NOT fire there; at ~0.8 reach
+      * (160-doc batches) delta's reads exceed full's for identical
+      * writes, so it must. An earlier 0.5 default mis-routed the 40-doc
+      * regime to full rebuilds (caught by the r8 1× BatchReadProbe and
+      * documented in OPTIMIZATION_r08.md). */
+    deltaSaturationFraction: Double = 0.75,
     /** Partition-bucket count for the hash-bucketed table layouts
       * (sbucket/ebucket/nbucket/cbucket/tbucket/pibucket — Iceberg
       * `bucket(N, col)` analogue). Applied when a store is CREATED and

@@ -868,6 +868,22 @@ final class Pipeline(
     // forced broadcast here would OOM first.
     def hinted(df: DataFrame): DataFrame =
       if (config.saltedCanonicalJoin) df else broadcast(df)
+    // SATURATION PRE-GATE (r8): the batch's OWN edge names are a lower
+    // bound on the affected-name set, and they are in hand before any
+    // incremental-CC or discovery work — if they alone reach more than
+    // deltaSaturationFraction of the bucket space, the delta machinery
+    // below (seeded CC solve, map diff, per-leg discovery) cannot beat
+    // the full rebuild, so route there before paying any of it (the r8
+    // gated series still showed ~4 s/batch of pre-gate CC machinery at
+    // the 160-doc/nb=256 saturation point with only the post-CC gate).
+    // One count job over the pinned batch edges; both paths produce
+    // identical state (CompactionSuite gate-crossing test).
+    val batchNameBuckets = batchEdges.toDF()
+      .select(explode(array($"subj", $"pred", $"obj")).as("name"))
+      .select(pmod(hash($"name"), lit(nb)).as("b")).distinct().count()
+    if (batchNameBuckets > config.deltaSaturationFraction * nb) {
+      compact(spark, io, nb); return
+    }
     val oldCC = io.read(spark, "canonical_map").select($"name", $"canonicalName")
     // SEEDED incremental CC: solve over {touched-component star edges ∪
     // batch alias pairs} — O(batch + touched members), not O(alias
