@@ -380,9 +380,11 @@ final class Pipeline(
     // 250k-doc build and measured as pure memory-pressure loss — stacked
     // on merge()'s own pin of the 4×-row vec-index delta it tipped the
     // 8 GB local JVM into eviction churn (vec-index write 18.7 s →
-    // 435 s). The layout's single-pass explode (VectorIndex.layout, r8)
-    // already removed the 4× re-embed; the remaining recomputes are one
-    // cheap mapPartitions over the pinned chunks cache each.
+    // 435 s). Instead, the FRESH-store index build below reads the
+    // just-written chunk_embeddings table (rebuildIndexWholesale), so
+    // the in-flight embed pipeline runs once per batch for the table
+    // append; only steady-state incremental batches re-embed per layout
+    // leg, over batch-sized frames off the pinned chunks cache.
     // edges ARE pinned: narrow rows (strings, no vectors — O(10 MB) at
     // this scale), consumed by the edges MERGE, pred_index, the entity
     // index, and (lsh batches) delta compaction's discovery — each
